@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.{QueryDef, Tables}
+
+/** Relational operator coverage (SURVEY.md §2-B/C/D/E/F) mapped onto the
+  * driver testdata star schema, each with a DuckDB oracle.
+  *
+  * Determinism rules shared with the oracles:
+  *  - money/double sums go through `cents` (round(x*100) → BIGINT) so the
+  *    aggregation is exact integer math — immune to fp summation order;
+  *  - every query ends with a total ORDER BY mirrored in the oracle;
+  *  - timestamps are exported as epoch seconds (BIGINT).
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // D1: count-by-kind (reference: count_objects, src/lib.rs:50)
+    QueryDef(
+      "q_count_kinds",
+      (s, d) => {
+        val c = Tables.t(s, d, "customer").select(lit("customer").as("kind"))
+        val o = Tables.t(s, d, "orders").select(lit("orders").as("kind"))
+        val l = Tables.t(s, d, "lineitem").select(lit("lineitem").as("kind"))
+        c.union(o).union(l).groupBy("kind").agg(count(lit(1)).as("n"))
+          .orderBy("kind")
+      },
+      Some("""SELECT kind, count(*) AS n FROM (
+             |  SELECT 'customer' AS kind FROM customer
+             |  UNION ALL SELECT 'orders' FROM orders
+             |  UNION ALL SELECT 'lineitem' FROM lineitem
+             |) GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // D2-style fold: min/max aggregation (reference: calculate_bounding_box)
+    QueryDef(
+      "q_minmax_fold",
+      (s, d) =>
+        Tables.t(s, d, "customer").agg(
+          min(cents(col("c_acctbal"))).as("min_bal_c"),
+          max(cents(col("c_acctbal"))).as("max_bal_c"),
+          count(lit(1)).as("n")),
+      Some("""SELECT min(CAST(round(c_acctbal*100) AS BIGINT)) AS min_bal_c,
+             |       max(CAST(round(c_acctbal*100) AS BIGINT)) AS max_bal_c,
+             |       count(*) AS n FROM customer""".stripMargin)),
+
+    // D1/D4-style group aggregate
+    QueryDef(
+      "q_agg_group",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(cents(col("l_quantity"))).as("sum_qty_c"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // D4: changeset synthesis analogue (reference: changesets table,
+    // src/db/pg.rs:202) — per-group min/max ts + counts + exact sums
+    QueryDef(
+      "q_changesets",
+      (s, d) =>
+        Tables.t(s, d, "events")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            unix_timestamp(min(col("ts"))).as("first_s"),
+            unix_timestamp(max(col("ts"))).as("last_s"),
+            sum(cents(col("value"))).as("sum_value_c"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_s,
+             |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_s,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // D3: users dedup (reference: users table, src/db/pg.rs:201) —
+    // distinct referenced keys recovered through a join
+    QueryDef(
+      "q_dedup_users",
+      (s, d) => {
+        val o = Tables.t(s, d, "orders").select("o_custkey").distinct()
+        Tables.t(s, d, "customer")
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT DISTINCT o_custkey FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // B2/B3: posexplode (reference: tag/way-node explode, src/db/pg.rs:194-197)
+    QueryDef(
+      "q_explode_tokens",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+             |       unnest(toks) AS tok
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // C2+D5: ordered 1:N reassembly (reference: ways ⋈ way_nodes with
+    // sequence_id order, src/bin/export-test/main.rs:110)
+    QueryDef(
+      "q_reassemble_refs",
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val l = Tables.t(s, d, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_outer")
+          .groupBy("o_orderkey")
+          .agg(
+            count(col("l_orderkey")).as("n_items"),
+            concat_ws(",",
+              transform(
+                array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey")))),
+                x => x.getField("l_partkey"))).as("refs_csv"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(l_orderkey) AS n_items,
+             |  coalesce(string_agg(l_partkey, ',' ORDER BY l_linenumber, l_partkey), '') AS refs_csv
+             |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+
+    // C6: broadcast dimension joins (reference: elements ⋈ users/changesets)
+    QueryDef(
+      "q_join_dims",
+      (s, d) => {
+        val l = Tables.t(s, d, "lineitem")
+        val sup = Tables.t(s, d, "supplier")
+        val n = Tables.t(s, d, "nation")
+        val r = Tables.t(s, d, "region")
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_c"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // C7/F2: anti join (reference: import-test containment probe → left_anti)
+    QueryDef(
+      "q_anti_join",
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val o = Tables.t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // semi join
+    QueryDef(
+      "q_semi_join",
+      (s, d) => {
+        val p = Tables.t(s, d, "part")
+        val l = Tables.t(s, d, "lineitem")
+        p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+          .select("p_partkey", "p_name").orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // C8/F1: full-outer ordered compare — symmetric difference of key sets
+    QueryDef(
+      "q_fullouter_diff",
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("k"))
+          .distinct().withColumn("in_orders", lit(1))
+        val c = Tables.t(s, d, "customer").select(col("c_custkey").as("k"))
+          .withColumn("in_customer", lit(1))
+        o.join(c, Seq("k"), "full_outer")
+          .filter(col("in_orders").isNull || col("in_customer").isNull)
+          .select(col("k"),
+            coalesce(col("in_orders"), lit(0)).as("in_orders"),
+            coalesce(col("in_customer"), lit(0)).as("in_customer"))
+          .orderBy("k")
+      },
+      Some("""SELECT k, coalesce(in_orders, 0) AS in_orders,
+             |       coalesce(in_customer, 0) AS in_customer
+             |FROM (SELECT DISTINCT o_custkey AS k, 1 AS in_orders FROM orders
+             |      WHERE o_orderpriority = '1-URGENT') o
+             |FULL OUTER JOIN
+             |     (SELECT c_custkey AS k, 1 AS in_customer FROM customer) c
+             |USING (k)
+             |WHERE in_orders IS NULL OR in_customer IS NULL
+             |ORDER BY k""".stripMargin)),
+
+    // F1: except / set difference
+    QueryDef(
+      "q_except_set",
+      (s, d) => {
+        val c = Tables.t(s, d, "customer").select(col("c_custkey"))
+        val o = Tables.t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        c.except(o).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+             |WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // E: top-k with deterministic tie-break
+    QueryDef(
+      "q_topk",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+          .orderBy(col("price_c").desc, col("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+             |FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // E2: global total-order sort (reference: Type_then_ID export order)
+    QueryDef(
+      "q_global_sort",
+      (s, d) =>
+        Tables.t(s, d, "nation")
+          .orderBy(col("n_regionkey").desc, col("n_name")),
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |ORDER BY n_regionkey DESC, n_name""".stripMargin)),
+
+    // window ranking (kNN top-1 skeleton, SURVEY.md J6)
+    QueryDef(
+      "q_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = Tables.t(s, d, "events")
+          .groupBy("event_type", "user_id")
+          .agg(sum(cents(col("value"))).as("sum_c"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("sum_c").desc, col("user_id"))
+        per.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("event_type", "user_id", "sum_c", "rk")
+          .orderBy("event_type", "rk")
+      },
+      Some("""SELECT event_type, user_id, sum_c, rk FROM (
+             |  SELECT event_type, user_id, sum_c,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY sum_c DESC, user_id) AS rk
+             |  FROM (SELECT event_type, user_id,
+             |          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+             |        FROM events GROUP BY event_type, user_id)
+             |) WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin))
+  )
+}
