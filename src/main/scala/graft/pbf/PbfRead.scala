@@ -1,0 +1,362 @@
+package graft.pbf
+
+import java.io.DataInputStream
+import java.util.zip.Inflater
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{OsmEntity, OsmKind, OsmMember, OsmTag}
+
+/** Distributed `.osm.pbf` scan (SURVEY.md A1/A2): the driver walks the
+  * frame sequence reading only the 4-byte lengths + BlobHeaders (cheap
+  * sequential metadata scan, like FileInputFormat.getSplits), producing a
+  * Dataset of (offset,len) blob pointers; executors then decode blobs in
+  * parallel with `mapPartitions` — one blob ≈ 8k elements is the natural
+  * split unit, so a planet file fans out to ~tens of thousands of tasks.
+  *
+  * Format knowledge is public (osmformat.proto / fileformat.proto);
+  * decode behavior validated against the reference fixture counts
+  * (41,861 nodes / 3,014 ways / 125 relations — FIXTURES.md §1). */
+object PbfRead {
+
+  final case class BlobPtr(path: String, offset: Long, dataLen: Int, blobType: String)
+
+  final case class PbfHeader(
+      requiredFeatures: Seq[String],
+      optionalFeatures: Seq[String],
+      writingProgram: String)
+
+  private def hadoopOpen(spark: SparkSession, path: String) = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.open(p)
+  }
+
+  /** Driver-side frame index: sequence of blob pointers. */
+  def scanFrames(spark: SparkSession, path: String): Seq[BlobPtr] = {
+    val in = new DataInputStream(hadoopOpen(spark, path))
+    val out = scala.collection.mutable.ArrayBuffer.empty[BlobPtr]
+    var offset = 0L
+    try {
+      while (true) {
+        val headerLen =
+          try in.readInt()
+          catch { case _: java.io.EOFException => return out.toSeq }
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(headerBytes)
+        val p = new Proto(headerBytes)
+        var blobType = ""
+        var dataLen = 0
+        while (p.hasMore) {
+          p.readKey() match {
+            case (1, 2) => blobType = p.readString()
+            case (3, 0) => dataLen = p.readVarint().toInt
+            case (_, w) => p.skip(w)
+          }
+        }
+        val dataOffset = offset + 4 + headerLen
+        out += BlobPtr(path, dataOffset, dataLen, blobType)
+        in.skipBytes(dataLen)
+        offset = dataOffset + dataLen
+      }
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** Inflate a Blob message (raw or zlib) to its uncompressed bytes. */
+  def inflateBlob(blobBytes: Array[Byte]): Array[Byte] = {
+    val p = new Proto(blobBytes)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlib: Array[Byte] = null
+    while (p.hasMore) {
+      p.readKey() match {
+        case (1, 2) => raw = p.readBytes()
+        case (2, 0) => rawSize = p.readVarint().toInt
+        case (3, 2) => zlib = p.readBytes()
+        case (_, w) => p.skip(w)
+      }
+    }
+    if (raw != null) raw
+    else {
+      val inf = new Inflater()
+      inf.setInput(zlib)
+      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 20)
+      var n = 0
+      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+      inf.end()
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+  }
+
+  /** Driver-side header probe (SURVEY.md A2/A4): first frame must be an
+    * OSMHeader — this doubles as file-magic validation. */
+  def readHeader(spark: SparkSession, path: String): PbfHeader = {
+    val frames = {
+      val in = new DataInputStream(hadoopOpen(spark, path))
+      try {
+        val headerLen = in.readInt()
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(headerBytes)
+        val p = new Proto(headerBytes)
+        var blobType = ""
+        var dataLen = 0
+        while (p.hasMore) {
+          p.readKey() match {
+            case (1, 2) => blobType = p.readString()
+            case (3, 0) => dataLen = p.readVarint().toInt
+            case (_, w) => p.skip(w)
+          }
+        }
+        require(blobType == "OSMHeader",
+          s"not an OSM PBF file (first blob is '$blobType'): $path")
+        val data = new Array[Byte](dataLen)
+        in.readFully(data)
+        data
+      } finally in.close()
+    }
+    val hb = new Proto(inflateBlob(frames))
+    var required = List.empty[String]
+    var optional = List.empty[String]
+    var wp = ""
+    while (hb.hasMore) {
+      hb.readKey() match {
+        case (4, 2) => required ::= hb.readString()
+        case (5, 2) => optional ::= hb.readString()
+        case (16, 2) => wp = hb.readString()
+        case (_, w) => hb.skip(w)
+      }
+    }
+    PbfHeader(required.reverse, optional.reverse, wp)
+  }
+
+  /** Decode one OSMData blob into entities. */
+  def decodeBlock(block: Array[Byte]): Iterator[OsmEntity] = {
+    val p = new Proto(block)
+    val strings = scala.collection.mutable.ArrayBuffer.empty[String]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000L
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Proto]
+    while (p.hasMore) {
+      p.readKey() match {
+        case (1, 2) => // string table
+          val st = p.readMessage()
+          while (st.hasMore) {
+            st.readKey() match {
+              case (1, 2) => strings += st.readString()
+              case (_, w) => st.skip(w)
+            }
+          }
+        case (2, 2) => groups += p.readMessage()
+        case (17, 0) => granularity = p.readVarint()
+        case (18, 0) => dateGranularity = p.readVarint()
+        case (19, 0) => latOffset = p.readVarint()
+        case (20, 0) => lonOffset = p.readVarint()
+        case (_, w) => p.skip(w)
+      }
+    }
+    val strArr = strings.toArray
+    // granularity 100 nanodeg == exactly 1e-7°; other granularities scale
+    @inline def toLat7(raw: Long): Long = (latOffset + granularity * raw) / 100L
+    @inline def toLon7(raw: Long): Long = (lonOffset + granularity * raw) / 100L
+
+    groups.iterator.flatMap { g =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[OsmEntity]
+      while (g.hasMore) {
+        g.readKey() match {
+          case (2, 2) => out ++= decodeDense(g.readMessage(), strArr, toLat7, toLon7, dateGranularity)
+          case (3, 2) => out += decodeWay(g.readMessage(), strArr, dateGranularity)
+          case (4, 2) => out += decodeRelation(g.readMessage(), strArr, dateGranularity)
+          case (1, 2) => g.skip(2) // non-dense Nodes unused by modern writers
+          case (_, w) => g.skip(w)
+        }
+      }
+      out
+    }
+  }
+
+  /** Info message → (version, tsMillis, changeset, uid, userSid, visible). */
+  private def decodeInfo(ip: Proto, dateGranularity: Long): (Int, Long, Long, Int, Int, Boolean) = {
+    var version = -1
+    var ts = 0L
+    var changeset = -1L
+    var uid = -1
+    var userSid = 0
+    var visible = true
+    while (ip.hasMore) {
+      ip.readKey() match {
+        case (1, 0) => version = ip.readVarint().toInt
+        case (2, 0) => ts = ip.readVarint() * dateGranularity
+        case (3, 0) => changeset = ip.readVarint()
+        case (4, 0) => uid = ip.readVarint().toInt
+        case (5, 0) => userSid = ip.readVarint().toInt
+        case (6, 0) => visible = ip.readVarint() != 0
+        case (_, w) => ip.skip(w)
+      }
+    }
+    (version, ts, changeset, uid, userSid, visible)
+  }
+
+  private def decodeDense(d: Proto, strings: Array[String],
+      toLat7: Long => Long, toLon7: Long => Long,
+      dateGranularity: Long): Seq[OsmEntity] = {
+    var ids: Array[Long] = Array.empty
+    var lats: Array[Long] = Array.empty
+    var lons: Array[Long] = Array.empty
+    var keysVals: Array[Long] = Array.empty
+    var versions: Array[Long] = Array.empty
+    var timestamps: Array[Long] = Array.empty
+    var changesets: Array[Long] = Array.empty
+    var uids: Array[Long] = Array.empty
+    var userSids: Array[Long] = Array.empty
+    var visibles: Array[Long] = Array.empty
+    while (d.hasMore) {
+      d.readKey() match {
+        case (1, 2) => ids = d.readPackedSints()
+        case (5, 2) => // DenseInfo
+          val di = d.readMessage()
+          while (di.hasMore) {
+            di.readKey() match {
+              case (1, 2) => versions = di.readPackedVarints()
+              case (2, 2) => timestamps = di.readPackedSints()
+              case (3, 2) => changesets = di.readPackedSints()
+              case (4, 2) => uids = di.readPackedSints()
+              case (5, 2) => userSids = di.readPackedSints()
+              case (6, 2) => visibles = di.readPackedVarints()
+              case (_, w) => di.skip(w)
+            }
+          }
+        case (8, 2) => lats = d.readPackedSints()
+        case (9, 2) => lons = d.readPackedSints()
+        case (10, 2) => keysVals = d.readPackedVarints()
+        case (_, w) => d.skip(w)
+      }
+    }
+    val n = ids.length
+    val out = new scala.collection.mutable.ArrayBuffer[OsmEntity](n)
+    var id = 0L; var lat = 0L; var lon = 0L
+    var ts = 0L; var cs = 0L; var uid = 0L; var usid = 0L
+    var kv = 0
+    var i = 0
+    while (i < n) {
+      id += ids(i); lat += lats(i); lon += lons(i)
+      if (timestamps.nonEmpty) ts += timestamps(i)
+      if (changesets.nonEmpty) cs += changesets(i)
+      if (uids.nonEmpty) uid += uids(i)
+      if (userSids.nonEmpty) usid += userSids(i)
+      val tags = scala.collection.mutable.ArrayBuffer.empty[OsmTag]
+      if (keysVals.nonEmpty) {
+        while (kv < keysVals.length && keysVals(kv) != 0) {
+          tags += OsmTag(strings(keysVals(kv).toInt), strings(keysVals(kv + 1).toInt))
+          kv += 2
+        }
+        kv += 1 // skip the 0 delimiter
+      }
+      val visible = visibles.isEmpty || visibles(i) != 0
+      out += OsmEntity(
+        kind = OsmKind.Node, id = id,
+        version = if (versions.nonEmpty) versions(i).toInt else -1,
+        visible = visible,
+        lat7 = Some(toLat7(lat)), lon7 = Some(toLon7(lon)),
+        tsMillis = if (timestamps.nonEmpty) ts * dateGranularity else 0L,
+        changeset = cs, uid = uid.toInt,
+        user = if (userSids.nonEmpty) strings(usid.toInt) else "",
+        tags = tags.toSeq, refs = Nil, members = Nil)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def decodeWay(w: Proto, strings: Array[String],
+      dateGranularity: Long): OsmEntity = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var refs: Array[Long] = Array.empty
+    var info = (-1, 0L, -1L, -1, 0, true)
+    while (w.hasMore) {
+      w.readKey() match {
+        case (1, 0) => id = w.readVarint()
+        case (2, 2) => keys = w.readPackedVarints()
+        case (3, 2) => vals = w.readPackedVarints()
+        case (4, 2) => info = decodeInfo(w.readMessage(), dateGranularity)
+        case (8, 2) =>
+          val deltas = w.readPackedSints()
+          refs = new Array[Long](deltas.length)
+          var acc = 0L
+          var i = 0
+          while (i < deltas.length) { acc += deltas(i); refs(i) = acc; i += 1 }
+        case (_, wt) => w.skip(wt)
+      }
+    }
+    val tags = keys.indices.map(i => OsmTag(strings(keys(i).toInt), strings(vals(i).toInt)))
+    OsmEntity(OsmKind.Way, id, info._1, info._6, None, None, info._2, info._3,
+      info._4, if (info._5 != 0) strings(info._5) else "", tags, refs.toSeq, Nil)
+  }
+
+  private def decodeRelation(r: Proto, strings: Array[String],
+      dateGranularity: Long): OsmEntity = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var roles: Array[Long] = Array.empty
+    var memids: Array[Long] = Array.empty
+    var types: Array[Long] = Array.empty
+    var info = (-1, 0L, -1L, -1, 0, true)
+    while (r.hasMore) {
+      r.readKey() match {
+        case (1, 0) => id = r.readVarint()
+        case (2, 2) => keys = r.readPackedVarints()
+        case (3, 2) => vals = r.readPackedVarints()
+        case (4, 2) => info = decodeInfo(r.readMessage(), dateGranularity)
+        case (8, 2) => roles = r.readPackedVarints()
+        case (9, 2) =>
+          val deltas = r.readPackedSints()
+          memids = new Array[Long](deltas.length)
+          var acc = 0L
+          var i = 0
+          while (i < deltas.length) { acc += deltas(i); memids(i) = acc; i += 1 }
+        case (10, 2) => types = r.readPackedVarints()
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    val tags = keys.indices.map(i => OsmTag(strings(keys(i).toInt), strings(vals(i).toInt)))
+    val members = memids.indices.map(i =>
+      OsmMember(types(i).toByte, memids(i), strings(roles(i).toInt)))
+    OsmEntity(OsmKind.Relation, id, info._1, info._6, None, None, info._2, info._3,
+      info._4, if (info._5 != 0) strings(info._5) else "", tags, Nil, members)
+  }
+
+  /** The distributed scan: blob pointers → mapPartitions decode. */
+  def read(spark: SparkSession, path: String): Dataset[OsmEntity] = {
+    import spark.implicits._
+    val header = readHeader(spark, path) // validates magic (A4)
+    require(header.requiredFeatures.forall(f =>
+      f == "OsmSchema-V0.6" || f == "DenseNodes" || f == "HistoricalInformation" ||
+        f.startsWith("Sort.")),
+      s"unsupported required features: ${header.requiredFeatures}")
+    val frames = scanFrames(spark, path).filter(_.blobType == "OSMData")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    // one task per a few blobs: blobs are ~8k elements each
+    val nPart = math.max(1, math.min(frames.size, spark.sparkContext.defaultParallelism * 2))
+    frames.toDS().repartition(nPart).mapPartitions { ptrs =>
+      val byPath = ptrs.toSeq.groupBy(_.path)
+      byPath.iterator.flatMap { case (path, ps) =>
+        val hp = new Path(path)
+        val fs = FileSystem.get(hp.toUri, bc.value.value)
+        val in = fs.open(hp)
+        val sorted = ps.sortBy(_.offset)
+        sorted.iterator.flatMap { ptr =>
+          val data = new Array[Byte](ptr.dataLen)
+          in.readFully(ptr.offset, data)
+          decodeBlock(inflateBlob(data))
+        } ++ { in.close(); Iterator.empty }
+      }
+    }
+  }
+}
