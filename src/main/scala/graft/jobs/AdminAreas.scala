@@ -1,0 +1,229 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geo.{Cover, Geom}
+import graft.model.{OsmEntity, OsmKind}
+
+/** Admin-boundary assembly (SURVEY.md J1-J4): select admin relations,
+  * stitch member ways into closed rings with an ITERATIVE DATAFRAME
+  * SELF-JOIN (north star: "rather than a port of the Rust relation
+  * assembler"), normalize winding, and build compacted cell covers.
+  *
+  * Chain merging is mutual-min matching on shared endpoint node ids:
+  * each round every open chain proposes its smallest-id neighbour; pairs
+  * that propose each other merge. A ring of w ways closes in O(log w)
+  * rounds typically; each round is one narrow self-join + one shuffle on
+  * the (tiny relative to input) chain table, with localCheckpoint to
+  * truncate lineage. Member ORDER is never consulted — the reference
+  * treats member order as insignificant (export-test/main.rs:113-127).
+  */
+object AdminAreas {
+
+  /** One open/closed chain of stitched ways. coords = flat [x0,y0,...]. */
+  final case class Chain(
+      relationId: Long, role: String, chainId: Long,
+      aNode: Long, bNode: Long, coords: Seq[Long], nWays: Int, closed: Boolean)
+
+  final case class AdminArea(
+      relationId: Long, adminLevel: Int, name: String,
+      rings: Seq[Seq[Long]], // outer rings (CCW) then holes (CW), even-odd
+      centreLat7: Option[Long], centreLon7: Option[Long],
+      complete: Boolean)
+
+  final case class CoverRow(relationId: Long, cell: Long, full: Boolean)
+
+  /** Latest visible version of each element id of one kind. */
+  private def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("version").desc)
+    osm.filter(col("kind") === kind)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("visible"))
+      .drop("_rn")
+  }
+
+  /** First tag value with key k. */
+  private def tagVal(k: String) =
+    try_element_at(filter(col("tags"), t => t.getField("k") === k), lit(1)).getField("v")
+
+  /** J1: relations with boundary=administrative AND an admin_level
+    * (r3548694 in the fixture has the former but not the latter and must
+    * be excluded — FIXTURES.md §1). */
+  def adminRelations(osm: Dataset[OsmEntity]): DataFrame =
+    latestVisible(osm, OsmKind.Relation)
+      .withColumn("admin_level_s", tagVal("admin_level"))
+      .withColumn("_b", tagVal("boundary"))
+      .filter(col("_b") === "administrative" && col("admin_level_s").isNotNull)
+      .select(col("id").as("relation_id"),
+        col("admin_level_s").cast("int").as("admin_level"),
+        coalesce(tagVal("name"), lit("")).as("name"),
+        col("members"))
+
+  /** Initial chains: one per (relation, role, member way), with node-id
+    * endpoints and coordinate payload. */
+  def initialChains(spark: SparkSession, osm: Dataset[OsmEntity],
+      admin: DataFrame): Dataset[Chain] = {
+    import spark.implicits._
+    val memberWays = admin
+      .select(col("relation_id"), explode(col("members")).as("m"))
+      .filter(col("m.mtype") === OsmKind.Way &&
+        (col("m.role") === "outer" || col("m.role") === "inner" || col("m.role") === ""))
+      .select(col("relation_id"),
+        when(col("m.role") === "inner", "inner").otherwise("outer").as("role"),
+        col("m.ref").as("way_id"))
+      .distinct()
+    val wayNodes = latestVisible(osm, OsmKind.Way)
+      .select(col("id").as("way_id"), posexplode(col("refs")).as(Seq("seq", "node_id")))
+    val nodes = latestVisible(osm, OsmKind.Node)
+      .select(col("id").as("node_id"), col("lat7"), col("lon7"))
+    memberWays
+      .join(wayNodes, "way_id")
+      .join(nodes, "node_id")
+      .groupBy("relation_id", "role", "way_id")
+      .agg(array_sort(collect_list(struct(col("seq"), col("node_id"),
+        col("lon7"), col("lat7")))).as("pts"))
+      .as[(Long, String, Long, Seq[(Int, Long, Long, Long)])]
+      .map { case (rel, role, wayId, pts) =>
+        val coords = pts.flatMap(p => Seq(p._3, p._4))
+        Chain(rel, role, wayId, pts.head._2, pts.last._2, coords,
+          nWays = 1, closed = pts.length >= 2 && pts.head._2 == pts.last._2)
+      }
+  }
+
+  /** The iterative self-join loop. Returns (closed, failed) chains. */
+  def assemble(spark: SparkSession, initial: Dataset[Chain],
+      maxRounds: Int = 30): (Dataset[Chain], Dataset[Chain]) = {
+    import spark.implicits._
+    var chains = initial.localCheckpoint()
+    var round = 0
+    var openCount = chains.filter(!_.closed).count()
+    while (openCount > 0 && round < maxRounds) {
+      val open = chains.filter(!_.closed)
+      val eps = open.select(col("relationId"), col("role"), col("chainId"),
+        explode(array(col("aNode"), col("bNode"))).as("node")).distinct()
+      val adj = eps.as("l").join(eps.as("r"),
+          col("l.relationId") === col("r.relationId") &&
+            col("l.role") === col("r.role") &&
+            col("l.node") === col("r.node") &&
+            col("l.chainId") =!= col("r.chainId"))
+        .groupBy(col("l.relationId").as("relationId"), col("l.role").as("role"),
+          col("l.chainId").as("chainId"))
+        .agg(min(col("r.chainId")).as("partner"))
+      val mutual = adj.as("p").join(adj.as("q"),
+          col("p.relationId") === col("q.relationId") &&
+            col("p.role") === col("q.role") &&
+            col("p.partner") === col("q.chainId") &&
+            col("q.partner") === col("p.chainId") &&
+            col("p.chainId") < col("q.chainId"))
+        .select(col("p.relationId").as("relationId"), col("p.role").as("role"),
+          col("p.chainId").as("leader"), col("q.chainId").as("follower"))
+      if (mutual.isEmpty) {
+        openCount = 0 // no mergeable pairs left: leftovers are failures
+      } else {
+        val leaderOf = mutual.select(col("relationId"), col("role"),
+            col("leader").as("chainId"), col("leader"))
+          .union(mutual.select(col("relationId"), col("role"),
+            col("follower").as("chainId"), col("leader")))
+        val tagged = chains.toDF().join(leaderOf, Seq("relationId", "role", "chainId"), "left_outer")
+          .withColumn("grp", coalesce(col("leader"), col("chainId")))
+        chains = tagged
+          .select(col("relationId"), col("role"), col("chainId"), col("aNode"),
+            col("bNode"), col("coords"), col("nWays"), col("closed"), col("grp"))
+          .as[(Long, String, Long, Long, Long, Seq[Long], Int, Boolean, Long)]
+          .groupByKey(t => (t._1, t._2, t._9))
+          .mapGroups { (_, it) =>
+            val cs = it.map(t => Chain(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8))
+              .toArray.sortBy(_.chainId)
+            if (cs.length == 1) cs.head
+            else mergeTwo(cs(0), cs(1))
+          }
+          .localCheckpoint()
+        openCount = chains.filter(!_.closed).count()
+      }
+      round += 1
+    }
+    (chains.filter(_.closed), chains.filter(c => !c.closed))
+  }
+
+  /** Merge two chains sharing an endpoint; orientation-normalizing. */
+  private def mergeTwo(c1: Chain, c2: Chain): Chain = {
+    // orient c1 to END at the shared node, c2 to START at it
+    val shared =
+      if (c1.bNode == c2.aNode || c1.bNode == c2.bNode) c1.bNode
+      else c1.aNode
+    val (h, hStart) =
+      if (c1.bNode == shared) (c1.coords, c1.aNode)
+      else (reversePairs(c1.coords), c1.bNode)
+    val (t, tEnd) =
+      if (c2.aNode == shared) (c2.coords, c2.bNode)
+      else (reversePairs(c2.coords), c2.aNode)
+    val coords = h ++ t.drop(2) // drop duplicated shared vertex
+    Chain(c1.relationId, c1.role, math.min(c1.chainId, c2.chainId),
+      hStart, tEnd, coords, c1.nWays + c2.nWays, closed = hStart == tEnd)
+  }
+
+  private def reversePairs(c: Seq[Long]): Seq[Long] =
+    c.grouped(2).toSeq.reverse.flatten
+
+  /** Full pipeline: typed entities → AdminArea with canonical rings. */
+  def build(spark: SparkSession, osm: Dataset[OsmEntity]): Dataset[AdminArea] = {
+    import spark.implicits._
+    val admin = adminRelations(osm).cache()
+    val (closed, failed) = assemble(spark, initialChains(spark, osm, admin))
+    val ringsPerRel = closed
+      .groupByKey(c => c.relationId)
+      .mapGroups { (rel, it) =>
+        val cs = it.toArray.sortBy(_.chainId)
+        val outers = cs.filter(_.role == "outer")
+          .map(c => dropClosingVertex(c.coords))
+          .map(r => Geom.canonicalRing(r, wantCCW = true).toSeq)
+        val inners = cs.filter(_.role == "inner")
+          .map(c => dropClosingVertex(c.coords))
+          .map(r => Geom.canonicalRing(r, wantCCW = false).toSeq)
+        // deterministic ring order: canonical first vertex
+        val ordered = (outers.sortBy(r => (r.head, r(1))) ++
+          inners.sortBy(r => (r.head, r(1)))).toSeq
+        (rel, ordered)
+      }
+      .toDF("relation_id", "rings")
+    val failedRels = failed.select(col("relationId").as("relation_id")).distinct()
+      .withColumn("_failed", lit(true))
+    val centres = admin
+      .select(col("relation_id"), explode(col("members")).as("m"))
+      .filter(col("m.mtype") === OsmKind.Node && col("m.role") === "admin_centre")
+      .groupBy("relation_id").agg(min(col("m.ref")).as("centre_node"))
+      .join(latestVisible(osm, OsmKind.Node).select(col("id").as("centre_node"),
+        col("lat7").as("c_lat7"), col("lon7").as("c_lon7")), Seq("centre_node"), "left_outer")
+    admin.drop("members")
+      .join(ringsPerRel, Seq("relation_id"), "left_outer")
+      .join(failedRels, Seq("relation_id"), "left_outer")
+      .join(centres, Seq("relation_id"), "left_outer")
+      .select(col("relation_id").as("relationId"),
+        col("admin_level").as("adminLevel"), col("name"),
+        coalesce(col("rings"), array()).as("rings"),
+        col("c_lat7").as("centreLat7"), col("c_lon7").as("centreLon7"),
+        (col("_failed").isNull && col("rings").isNotNull).as("complete"))
+      .as[AdminArea]
+  }
+
+  private def dropClosingVertex(c: Seq[Long]): Array[Long] = {
+    val arr = c.toArray
+    val n = arr.length
+    if (n >= 4 && arr(0) == arr(n - 2) && arr(1) == arr(n - 1))
+      java.util.Arrays.copyOf(arr, n - 2)
+    else arr
+  }
+
+  /** J4: compacted cell cover per complete admin polygon (distributed
+    * one task per polygon via flatMap). */
+  def coverTable(spark: SparkSession, areas: Dataset[AdminArea],
+      maxLevel: Int): Dataset[CoverRow] = {
+    import spark.implicits._
+    areas.filter(_.complete).flatMap { a =>
+      val rings = a.rings.map(_.toArray).toArray
+      Cover.cover(rings, maxLevel).map(cc => CoverRow(a.relationId, cc.cell, cc.full))
+    }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.jobs
+
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.geo.{Cells, Geom}
+import graft.pbf.PbfRead
+
+class AdminAreasSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
+  private lazy val areas = {
+    val osm = PbfRead.read(spark, fixture)
+    AdminAreas.build(spark, osm).collect().sortBy(_.relationId)
+  }
+
+  test("golden admin set: exactly the 14 fixture relations, all complete (FIXTURES.md §1)") {
+    assert(areas.map(_.relationId).toSet == (1558543L to 1558556L).toSet)
+    assert(areas.forall(_.complete), s"incomplete: ${areas.filterNot(_.complete).map(_.relationId).toSeq}")
+    val country = areas.find(_.relationId == 1558556L).get
+    assert(country.adminLevel == 2 && country.name == "Niuē")
+    assert(areas.count(_.adminLevel == 8) == 13)
+  }
+
+  test("every area stitches to exactly one closed valid ring with CCW winding") {
+    val gf = new GeometryFactory()
+    for (a <- areas) {
+      assert(a.rings.length == 1, s"rel ${a.relationId} rings=${a.rings.length}")
+      val ring = a.rings.head.toArray
+      assert(ring.length >= 6)
+      assert(Geom.shoelace(ring)._1 > 0, s"rel ${a.relationId} not CCW")
+      // JTS validity oracle
+      val n = ring.length / 2
+      val coords = (0 to n).map { i =>
+        val j = i % n
+        new Coordinate(ring(2 * j).toDouble, ring(2 * j + 1).toDouble)
+      }.toArray
+      assert(gf.createPolygon(coords).isValid, s"rel ${a.relationId} invalid polygon")
+    }
+  }
+
+  test("admin_centre nodes resolve; country centre is node 448768937's coords") {
+    assert(areas.forall(a => a.centreLat7.isDefined && a.centreLon7.isDefined))
+    val osm = PbfRead.read(spark, fixture)
+    val centre = osm.filter(e => e.kind == graft.model.OsmKind.Node && e.id == 448768937L).head()
+    val country = areas.find(_.relationId == 1558556L).get
+    assert(country.centreLat7.get == centre.lat7.get)
+    assert(country.centreLon7.get == centre.lon7.get)
+  }
+
+  test("admin_centre lies inside its own polygon (PIP cross-check)") {
+    for (a <- areas) {
+      val rings = a.rings.map(_.toArray).toArray
+      assert(Geom.pointInRings(a.centreLon7.get, a.centreLat7.get, rings),
+        s"centre of ${a.name} (${a.relationId}) outside its polygon")
+    }
+  }
+
+  test("cover table: country cover contains the centre's cell; full cells nest") {
+    val ds = spark.createDataset(areas.toSeq)
+    val cov = AdminAreas.coverTable(spark, ds, maxLevel = 14).collect()
+    assert(cov.nonEmpty)
+    val country = areas.find(_.relationId == 1558556L).get
+    val countryCells = cov.filter(_.relationId == 1558556L).map(_.cell).toSet
+    val centreHit = (0 to 14).exists(l =>
+      countryCells.contains(Cells.encode(country.centreLat7.get, country.centreLon7.get, l)))
+    assert(centreHit)
+  }
+}
