@@ -1,0 +1,185 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{GeoFunctions => G}
+import graft.jobs.AdminAreas.{AdminArea, CoverRow}
+
+/** The flagship pipeline (SURVEY.md J5-J8, north rule): geoparse page
+  * text → quadcell encode → multi-level cell equi-join against the
+  * compacted admin cover → ray-casting PIP refine for boundary cells →
+  * cell-ring-expansion kNN to nearest admin centre → z/x/y tile
+  * aggregation. Everything is DataFrame + codegen expressions — the
+  * spatial join is a plain Catalyst equi-join (AQE-optimizable), never a
+  * custom physical operator, because the PIP→cell-join rewrite happens
+  * at API level (SURVEY.md §4.3).
+  *
+  * Skew (J8): pages concentrate in few cells (cities). `saltBuckets > 0`
+  * replicates cover rows of hot cells S ways and spreads their pages by
+  * hash(url) — output-identical to the unsalted plan (asserted in spec).
+  */
+object SpatialJoin {
+
+  final case class Params(
+      coverMaxLevel: Int = 14,
+      knnLevel: Int = 9,
+      knnMaxRing: Int = 3,
+      tileZoom: Int = 12,
+      saltBuckets: Int = 0,
+      hotCellMinPages: Long = 100000L)
+
+  /** Geoparse: url + packed coordinate; drops pages with no mention.
+    * Column pruning matters here — only (url, text) are read, never
+    * html (SURVEY.md §4.2). */
+  def geoparsedPoints(pages: DataFrame): DataFrame =
+    pages.select(col("url"), G.geoparse_packed(col("text")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("url"), G.packed_lat7(col("p")).as("lat7"),
+        G.packed_lon7(col("p")).as("lon7"))
+
+  /** J5: containment join. Returns (url, lat7, lon7, relation_id). */
+  def containmentJoin(spark: SparkSession, points: DataFrame,
+      cover: Dataset[CoverRow], polygons: DataFrame, p: Params): DataFrame = {
+    import spark.implicits._
+    val coverDf = cover.toDF("relation_id", "cell", "full")
+    // distinct cover levels: tiny (≤ maxLevel+1 values), driver-collected
+    val levels = coverDf
+      .select(shiftrightunsigned(col("cell"), 58).cast("int").as("l"))
+      .distinct().as[Int].collect().sorted
+    val pts = points.withColumn("pcell",
+      G.cell_encode(col("lat7"), col("lon7"), lit(p.coverMaxLevel)))
+    val keyed = pts.withColumn("jcell", explode(array(
+      levels.map(l => G.cell_ancestor(col("pcell"), lit(l))): _*)))
+
+    val cand =
+      if (p.saltBuckets <= 1) keyed.join(coverDf, col("jcell") === col("cell"))
+      else {
+        // hot join keys measured exactly (one cheap agg), then salted
+        val hot = keyed.groupBy("jcell").count()
+          .filter(col("count") >= p.hotCellMinPages)
+          .select(col("jcell").as("cell")).withColumn("hot", lit(true))
+        val coverS = coverDf.join(broadcast(hot), Seq("cell"), "left_outer")
+          .withColumn("salt", explode(when(col("hot").isNotNull,
+            sequence(lit(0), lit(p.saltBuckets - 1))).otherwise(array(lit(0)))))
+          .drop("hot")
+        val keyedS = keyed.join(broadcast(hot), keyed("jcell") === hot("cell"), "left_outer")
+          .drop("cell")
+          .withColumn("salt", when(col("hot").isNotNull,
+            pmod(xxhash64(col("url")), lit(p.saltBuckets)).cast("int")).otherwise(lit(0)))
+          .drop("hot")
+        keyedS.join(coverS, col("jcell") === col("cell") &&
+          keyedS("salt") === coverS("salt"))
+      }
+
+    val fullHits = cand.filter(col("full"))
+      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+    val partialHits = cand.filter(!col("full"))
+      .join(polygons, "relation_id")
+      .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
+      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+    fullHits.union(partialHits)
+  }
+
+  /** J6: nearest admin centre by cell-ring expansion. Distance is exact
+    * integer squared planar L2 in 1e-7° space with antimeridian wrap —
+    * deterministic at any parallelism. Pages still unmatched after
+    * `knnMaxRing` rings fall back to a broadcast argmin (the centroid
+    * table is small — one row per admin area). */
+  def knnCentres(spark: SparkSession, points: DataFrame,
+      centres: DataFrame, p: Params): DataFrame = {
+    val centIdx = centres.select(col("relation_id").as("c_rel"),
+        col("c_lat7"), col("c_lon7"))
+      .withColumn("ccell", G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
+
+    def d2: Column = {
+      val dlat = col("lat7") - col("c_lat7")
+      val dlonRaw = abs(col("lon7") - col("c_lon7"))
+      val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
+      dlat * dlat + dlon * dlon
+    }
+    // Phase 1 — expanding ring probe: find SOME candidate distance per
+    // page (not necessarily the nearest yet).
+    var remaining = points
+      .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
+      .localCheckpoint()
+    var probed: DataFrame = null // url, lat7, lon7, kcell, d2found
+    var k = 0
+    while (k <= p.knnMaxRing && !remaining.isEmpty) {
+      val hit = remaining
+        .withColumn("rc", explode(G.cell_ring(col("kcell"), lit(k))))
+        .join(centIdx, col("rc") === col("ccell"))
+        .groupBy("url").agg(min(d2).as("d2found"))
+      val found = remaining.join(hit, "url")
+        .select(col("url"), col("lat7"), col("lon7"), col("kcell"), col("d2found"))
+      probed = if (probed == null) found else probed.union(found)
+      remaining = remaining.join(hit, Seq("url"), "left_anti").localCheckpoint()
+      k += 1
+    }
+    // Phase 2 — exact gather: the true nearest lies within ceil(r/hCell)+1
+    // rings of the probe hit (hCell = the cell's smaller dimension), so
+    // gathering those rings and taking the argmin is EXACT. Pages whose
+    // radius exceeds the ring cap — and pages never probed — fall back to
+    // a broadcast argmin over the (small) centroid table.
+    val hCell = (graft.geo.Cells.LatSpan >> p.knnLevel).toDouble
+    val ringCap = p.knnMaxRing * 4
+    def argminOver(cand: DataFrame): DataFrame =
+      cand.withColumn("d2v", d2)
+        .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
+        .select(col("url"), col("b.c_rel").as("nn_relation_id"))
+    var result: DataFrame = null
+    var needsFallback =
+      remaining.select(col("url"), col("lat7"), col("lon7"))
+    if (probed != null) {
+      val withNeed = probed.withColumn("kneed",
+        (ceil(sqrt(col("d2found")) / hCell) + 1).cast("int")).cache()
+      val exact = argminOver(withNeed
+        .filter(col("kneed") <= ringCap)
+        .withColumn("rc", explode(flatten(transform(
+          sequence(lit(0), col("kneed")),
+          j => G.cell_ring(col("kcell"), j)))))
+        .join(centIdx, col("rc") === col("ccell")))
+      result = exact
+      needsFallback = needsFallback.union(withNeed.filter(col("kneed") > ringCap)
+        .select(col("url"), col("lat7"), col("lon7")))
+    }
+    if (!needsFallback.isEmpty) {
+      val fb = argminOver(needsFallback.crossJoin(broadcast(centIdx)))
+      result = if (result == null) fb else result.union(fb)
+    }
+    if (result == null) points.select(col("url")).limit(0)
+      .withColumn("nn_relation_id", lit(null).cast("long"))
+    else result
+  }
+
+  /** J7: z/x/y raster-tile aggregation of the join output. */
+  def tiles(joined: DataFrame, zoom: Int): DataFrame =
+    joined
+      .withColumn("t", G.tile_zxy(col("lat7"), col("lon7"), lit(zoom)))
+      .groupBy(col("t"), col("relation_id"))
+      .agg(count(lit(1)).as("n_pages"))
+      .select(
+        lit(zoom).as("z"),
+        col("t").bitwiseAND(lit((1L << zoom) - 1)).as("x"),
+        shiftrightunsigned(col("t").bitwiseAND(lit((1L << 58) - 1)), zoom).as("y"),
+        col("relation_id"), col("n_pages"))
+
+  /** End-to-end: pages + assembled areas → per-url join rows + tiles. */
+  final case class Outputs(joined: DataFrame, knn: DataFrame, tileCounts: DataFrame)
+
+  def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea],
+      p: Params = Params()): Outputs = {
+    import spark.implicits._
+    val complete = areas.filter(_.complete).cache()
+    val cover = AdminAreas.coverTable(spark, complete, p.coverMaxLevel)
+    val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
+    val centres = complete
+      .filter(a => a.centreLat7.isDefined && a.centreLon7.isDefined)
+      .select(col("relationId").as("relation_id"),
+        col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
+    val pts = geoparsedPoints(pages).cache()
+    val joined = containmentJoin(spark, pts, cover, polygons, p)
+    val nn = knnCentres(spark, pts, centres, p)
+    Outputs(joined, nn, tiles(joined, p.tileZoom))
+  }
+}
