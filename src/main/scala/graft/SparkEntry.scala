@@ -9,11 +9,12 @@ object SparkEntry {
 
   /** All registered operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++ graft.queries.Geo.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full north-rule pipeline — fixture admin areas ×
+    * synthetic pages → containment join → tiles (rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_dims")(spark, "/root/testdata/sf0.001")
+    queries("q_page_tiles")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

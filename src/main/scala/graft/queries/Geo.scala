@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{GeoFunctions => G}
+import graft.jobs.{AdminAreas, SpatialJoin}
+import graft.pbf.PbfRead
+import graft.synth.Pages
+import graft.util.{QueryDef, Tables}
+
+/** Geospatial operator coverage wired to the driver gate. Cell/kNN math
+  * is pure integer arithmetic, so DuckDB oracles express the exact same
+  * formulas; fixture-derived operators get a VALUES-literal golden oracle
+  * (admin set) or rows-only + ScalaTest oracles (join/tiles — see
+  * SpatialJoinSpec). */
+object Geo {
+
+  private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
+
+  /** Deterministic synthetic points from the events table, identical
+    * formulas on both engines (positive operands → % == pmod). */
+  private def eventPoints(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "events").select(
+      col("event_id"),
+      (pmod(col("event_id") * 2654435761L, lit(1800000001L)) - 900000000L).as("lat7"),
+      (pmod(col("event_id") * 2971215073L, lit(3600000001L)) - 1800000000L).as("lon7"))
+
+  private val eventPointsSql =
+    """SELECT event_id,
+      |  (event_id * 2654435761) % 1800000001 - 900000000 AS lat7,
+      |  (event_id * 2971215073) % 3600000001 - 1800000000 AS lon7
+      |FROM events""".stripMargin
+
+  /** Nation-derived centroids, same trick. */
+  private def nationCentres(s: SparkSession, d: String): DataFrame =
+    Tables.t(s, d, "nation").select(
+      col("n_nationkey").cast("long").as("relation_id"),
+      (pmod(col("n_nationkey").cast("long") * 1073676287L, lit(1800000001L)) - 900000000L).as("c_lat7"),
+      (pmod(col("n_nationkey").cast("long") * 2971215073L, lit(3600000001L)) - 1800000000L).as("c_lon7"))
+
+  private val nationCentresSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS relation_id,
+      |  (CAST(n_nationkey AS BIGINT) * 1073676287) % 1800000001 - 900000000 AS c_lat7,
+      |  (CAST(n_nationkey AS BIGINT) * 2971215073) % 3600000001 - 1800000000 AS c_lon7
+      |FROM nation""".stripMargin
+
+  private lazy val adminAreasCached =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[AdminAreas.AdminArea]]()
+
+  private def areas(s: SparkSession) = {
+    val cached = adminAreasCached.computeIfAbsent("niue", _ =>
+      AdminAreas.build(s, PbfRead.read(s, fixture)).collect().toSeq)
+    import s.implicits._
+    s.createDataset(cached)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J4/§2-I: hierarchical cell encode — pure-integer oracle
+    QueryDef(
+      "q_cell_encode",
+      (s, d) =>
+        eventPoints(s, d)
+          .select(col("event_id"),
+            G.cell_encode(col("lat7"), col("lon7"), lit(12)).as("cell"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  3458764513820540928 +
+              |  least(((lat7 + 900000000) * 4096) // 1800000000, 4095) * 4096 +
+              |  least(((lon7 + 1800000000) * 4096) // 3600000000, 4095) AS cell
+              |FROM ($eventPointsSql)
+              |ORDER BY event_id""".stripMargin)),
+
+    // cell hierarchy: ancestor = arithmetic right-shift of x/y
+    QueryDef(
+      "q_cell_ancestor",
+      (s, d) =>
+        eventPoints(s, d)
+          .select(col("event_id"),
+            G.cell_ancestor(
+              G.cell_encode(col("lat7"), col("lon7"), lit(12)), lit(5)).as("anc"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |  1441151880758558720 +
+              |  ((least(((lat7 + 900000000) * 4096) // 1800000000, 4095) // 128) * 32) +
+              |  (least(((lon7 + 1800000000) * 4096) // 3600000000, 4095) // 128) AS anc
+              |FROM ($eventPointsSql)
+              |ORDER BY event_id""".stripMargin)),
+
+    // J5 skeleton: PIP against a rectangle ≡ BETWEEN (boundary=inside)
+    QueryDef(
+      "q_pip_rect",
+      (s, d) => {
+        val rect = Seq(Seq(-1000000000L, -200000000L, 500000000L, -200000000L,
+          500000000L, 700000000L, -1000000000L, 700000000L))
+        eventPoints(s, d)
+          .filter(G.point_in_rings(col("lon7"), col("lat7"), typedLit(rect)))
+          .select("event_id").orderBy("event_id")
+      },
+      Some(s"""SELECT event_id FROM ($eventPointsSql)
+              |WHERE lon7 BETWEEN -1000000000 AND 500000000
+              |  AND lat7 BETWEEN -200000000 AND 700000000
+              |ORDER BY event_id""".stripMargin)),
+
+    // J6: cell-ring-expansion kNN vs brute-force argmin in SQL
+    QueryDef(
+      "q_knn_centres",
+      (s, d) => {
+        val pts = eventPoints(s, d)
+          .select(col("event_id").cast("string").as("url"), col("lat7"), col("lon7"))
+        SpatialJoin.knnCentres(s, pts, nationCentres(s, d),
+            SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2))
+          .select(col("url").cast("long").as("event_id"), col("nn_relation_id"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, relation_id AS nn_relation_id FROM (
+              |  SELECT e.event_id, c.relation_id,
+              |    row_number() OVER (PARTITION BY e.event_id ORDER BY
+              |      (e.lat7 - c.c_lat7) * (e.lat7 - c.c_lat7) +
+              |      least(abs(e.lon7 - c.c_lon7), 3600000000 - abs(e.lon7 - c.c_lon7)) *
+              |      least(abs(e.lon7 - c.c_lon7), 3600000000 - abs(e.lon7 - c.c_lon7)),
+              |      c.relation_id) AS rk
+              |  FROM ($eventPointsSql) e CROSS JOIN ($nationCentresSql) c
+              |) WHERE rk = 1 ORDER BY event_id""".stripMargin)),
+
+    // J1-J3 golden: the 14 fixture admin areas as a VALUES oracle
+    QueryDef(
+      "q_admin_areas",
+      (s, _) =>
+        areas(s).toDF()
+          .select(col("relationId").as("relation_id"), col("adminLevel").as("admin_level"),
+            col("name"), size(col("rings")).as("n_rings"),
+            col("complete").cast("int").as("complete"))
+          .orderBy("relation_id"),
+      Some("""SELECT CAST(relation_id AS BIGINT) AS relation_id,
+             |  CAST(admin_level AS INTEGER) AS admin_level, name,
+             |  CAST(n_rings AS INTEGER) AS n_rings,
+             |  CAST(complete AS INTEGER) AS complete
+             |FROM (VALUES
+             | (1558543, 8, 'Hakupu', 1, 1), (1558544, 8, 'Mutalau', 1, 1),
+             | (1558545, 8, 'Vaiea', 1, 1), (1558546, 8, 'Hikutavake', 1, 1),
+             | (1558547, 8, 'Makefu', 1, 1), (1558548, 8, 'Tuapa', 1, 1),
+             | (1558549, 8, 'Alofi', 1, 1), (1558550, 8, 'Tamakautoga', 1, 1),
+             | (1558551, 8, 'Avatele', 1, 1), (1558552, 8, 'Namukulu', 1, 1),
+             | (1558553, 8, 'Liku', 1, 1), (1558554, 8, 'Toi', 1, 1),
+             | (1558555, 8, 'Lakepa', 1, 1), (1558556, 2, 'Niuē', 1, 1)
+             |) AS t(relation_id, admin_level, name, n_rings, complete)
+             |ORDER BY relation_id""".stripMargin)),
+
+    // J5-J7 end-to-end (rows-only here; oracled in SpatialJoinSpec)
+    QueryDef(
+      "q_page_join",
+      (s, _) => {
+        val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
+        out.joined.select("url", "relation_id").orderBy("url", "relation_id")
+      },
+      None),
+    QueryDef(
+      "q_page_knn",
+      (s, _) => {
+        val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
+        out.knn.orderBy("url")
+      },
+      None),
+    QueryDef(
+      "q_page_tiles",
+      (s, _) => {
+        val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
+        out.tileCounts.orderBy("z", "x", "y", "relation_id")
+      },
+      None),
+
+    // geoparse invariant surface: extractable coordinates round-trip and
+    // the text value is the untouched input (count of byte-equal == all)
+    QueryDef(
+      "q_geoparse",
+      (s, _) => {
+        val pages = Pages.generate(s, 20000)
+        pages.select(col("url"), col("text"),
+            G.geoparse_packed(col("text")).as("p"))
+          .select(col("url"),
+            G.packed_lat7(col("p")).as("lat7"), G.packed_lon7(col("p")).as("lon7"))
+          .filter(col("lat7").isNotNull)
+          .orderBy("url")
+      },
+      None)
+  )
+}
