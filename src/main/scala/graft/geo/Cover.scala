@@ -36,15 +36,33 @@ object Cover {
     out.toArray
   }
 
-  /** Build the cover. `maxCells` caps the output (safety valve for
-    * degenerate geometry: when exceeded, remaining partial cells are
-    * emitted un-split — correctness is preserved because partial cells
-    * always go through PIP refine). */
-  def cover(rings: Array[Array[Long]], maxLevel: Int,
-      maxCells: Int = 65536): Array[CoverCell] = {
+  /** Seed cells for distributed cover building: the cover region split
+    * into sub-quadrants a couple of levels below the natural start level,
+    * so one mega-polygon fans out to many tasks instead of one
+    * (Amdahl-killer at planet scale — a country's cover would otherwise
+    * be a single straggler task). */
+  def seedCells(rings: Array[Array[Long]], maxLevel: Int,
+      splitLevels: Int = 3): Array[Long] = {
+    val top = startCells(rings, maxLevel)
+    var seeds = top
+    var i = 0
+    while (i < splitLevels && seeds.forall(c => Cells.level(c) < maxLevel)) {
+      seeds = seeds.flatMap(Cells.children)
+      i += 1
+    }
+    seeds
+  }
+
+  /** Cover restricted to one seed cell (union over seeds == full cover). */
+  def coverFrom(rings: Array[Array[Long]], seed: Long, maxLevel: Int,
+      maxCells: Int = 65536): Array[CoverCell] =
+    coverImpl(rings, Array(seed), maxLevel, maxCells)
+
+  /** Natural start cells: coarsest level where one cell is no bigger
+    * than the bbox (≤ ~2x2 cells). */
+  private def startCells(rings: Array[Array[Long]], maxLevel: Int): Array[Long] = {
     val edges = edgesOf(rings)
     if (edges.isEmpty) return Array.empty
-    // bbox of all vertices
     var xlo = Long.MaxValue; var xhi = Long.MinValue
     var ylo = Long.MaxValue; var yhi = Long.MinValue
     var i = 0
@@ -54,8 +72,6 @@ object Cover {
       if (vy < ylo) ylo = vy; if (vy > yhi) yhi = vy
       i += 2
     }
-    // start level: coarsest where a cell is no bigger than the bbox,
-    // so the bbox spans at most ~2x2 start cells per axis
     var startLevel = 0
     while (startLevel < maxLevel &&
         (Cells.LonSpan >> (startLevel + 1)) >= math.max(xhi - xlo, 1) &&
@@ -65,6 +81,23 @@ object Cover {
     val cxHi = Cells.x(Cells.encode(ylo, xhi, startLevel))
     val cyLo = Cells.y(Cells.encode(ylo, xlo, startLevel))
     val cyHi = Cells.y(Cells.encode(yhi, xlo, startLevel))
+    (for (cy <- cyLo to cyHi; cx <- cxLo to cxHi)
+      yield Cells.fromXY(cx, cy, startLevel)).toArray
+  }
+
+  /** Build the whole cover (single-task path; tests + small polygons). */
+  def cover(rings: Array[Array[Long]], maxLevel: Int,
+      maxCells: Int = 65536): Array[CoverCell] =
+    coverImpl(rings, startCells(rings, maxLevel), maxLevel, maxCells)
+
+  /** `maxCells` caps the output (safety valve for degenerate geometry:
+    * when exceeded, remaining partial cells are emitted un-split —
+    * correctness is preserved because partial cells always go through
+    * PIP refine). */
+  private def coverImpl(rings: Array[Array[Long]], roots: Array[Long],
+      maxLevel: Int, maxCells: Int): Array[CoverCell] = {
+    val edges = edgesOf(rings)
+    if (edges.isEmpty || roots.isEmpty) return Array.empty
     val out = new ArrayBuffer[CoverCell]()
     var budget = maxCells
 
@@ -98,15 +131,7 @@ object Cover {
       }
     }
 
-    var cy = cyLo
-    while (cy <= cyHi) {
-      var cx = cxLo
-      while (cx <= cxHi) {
-        visit(Cells.fromXY(cx, cy, startLevel), edges)
-        cx += 1
-      }
-      cy += 1
-    }
+    roots.foreach(root => visit(root, edges))
     out.toArray
   }
 }

@@ -216,14 +216,22 @@ object AdminAreas {
     else arr
   }
 
-  /** J4: compacted cell cover per complete admin polygon (distributed
-    * one task per polygon via flatMap). */
+  /** J4: compacted cell cover per complete admin polygon. Two-stage
+    * fan-out: each polygon first emits seed sub-quadrants, which are
+    * shuffled so a mega-polygon's cover is built by MANY tasks instead of
+    * one straggler (Amdahl guard for country-level relations). */
   def coverTable(spark: SparkSession, areas: Dataset[AdminArea],
       maxLevel: Int): Dataset[CoverRow] = {
     import spark.implicits._
-    areas.filter(_.complete).flatMap { a =>
+    val seeded = areas.filter(_.complete).flatMap { a =>
       val rings = a.rings.map(_.toArray).toArray
-      Cover.cover(rings, maxLevel).map(cc => CoverRow(a.relationId, cc.cell, cc.full))
+      Cover.seedCells(rings, maxLevel).map(seed => (a.relationId, seed, a.rings))
     }
+    seeded
+      .repartition(col("_2")) // spread seeds of one polygon across tasks
+      .flatMap { case (rel, seed, rings) =>
+        Cover.coverFrom(rings.map(_.toArray).toArray, seed, maxLevel)
+          .map(cc => CoverRow(rel, cc.cell, cc.full))
+      }
   }
 }

@@ -22,7 +22,7 @@ import graft.jobs.AdminAreas.{AdminArea, CoverRow}
 object SpatialJoin {
 
   final case class Params(
-      coverMaxLevel: Int = 14,
+      coverMaxLevel: Int = 17,
       knnLevel: Int = 9,
       knnMaxRing: Int = 3,
       tileZoom: Int = 12,
@@ -72,6 +72,10 @@ object SpatialJoin {
           keyedS("salt") === coverS("salt"))
       }
 
+    // both branches recompute the candidate chain — it is a narrow
+    // all-codegen pipeline from the source scan (no shuffle), and two
+    // streaming passes beat materializing 10^7+ rows into the block
+    // manager (measured: checkpoint contention inverted 8c vs 32c)
     val fullHits = cand.filter(col("full"))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
     val partialHits = cand.filter(!col("full"))
@@ -164,22 +168,46 @@ object SpatialJoin {
         shiftrightunsigned(col("t").bitwiseAND(lit((1L << 58) - 1)), zoom).as("y"),
         col("relation_id"), col("n_pages"))
 
-  /** End-to-end: pages + assembled areas → per-url join rows + tiles. */
-  final case class Outputs(joined: DataFrame, knn: DataFrame, tileCounts: DataFrame)
+  /** End-to-end: pages + assembled areas → per-url join rows + tiles.
+    * `knn` is lazy — knnCentres drives driver-side actions (the ring
+    * probe loop), which must not run unless the kNN output is wanted. */
+  final class Outputs(val joined: DataFrame, knnThunk: () => DataFrame,
+      val tileCounts: DataFrame) {
+    lazy val knn: DataFrame = knnThunk()
+  }
 
-  def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea],
-      p: Params = Params()): Outputs = {
-    import spark.implicits._
+  /** Prepared polygon side: built once, reused across page batches —
+    * the cover is a property of the admin dataset, not of the pages. */
+  final case class Prepared(cover: Dataset[CoverRow], polygons: DataFrame,
+      centres: DataFrame)
+
+  def prepare(spark: SparkSession, areas: Dataset[AdminArea],
+      p: Params = Params()): Prepared = {
     val complete = areas.filter(_.complete).cache()
     val cover = AdminAreas.coverTable(spark, complete, p.coverMaxLevel)
+      .localCheckpoint() // materialize: read many times (levels + join)
     val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
+      .localCheckpoint()
     val centres = complete
-      .filter(a => a.centreLat7.isDefined && a.centreLon7.isDefined)
+      .filter((a: AdminArea) => a.centreLat7.isDefined && a.centreLon7.isDefined)
       .select(col("relationId").as("relation_id"),
         col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
-    val pts = geoparsedPoints(pages).cache()
-    val joined = containmentJoin(spark, pts, cover, polygons, p)
-    val nn = knnCentres(spark, pts, centres, p)
-    Outputs(joined, nn, tiles(joined, p.tileZoom))
+      .localCheckpoint()
+    Prepared(cover, polygons, centres)
+  }
+
+  def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea],
+      p: Params): Outputs =
+    run(spark, pages, prepare(spark, areas, p), p)
+
+  def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea]): Outputs =
+    run(spark, pages, prepare(spark, areas, Params()), Params())
+
+  def run(spark: SparkSession, pages: DataFrame, prep: Prepared,
+      p: Params): Outputs = {
+    val pts = geoparsedPoints(pages)
+    val joined = containmentJoin(spark, pts, prep.cover, prep.polygons, p)
+    new Outputs(joined, () => knnCentres(spark, pts, prep.centres, p),
+      tiles(joined, p.tileZoom))
   }
 }
