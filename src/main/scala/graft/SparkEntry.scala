@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All registered operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
-    graft.queries.Relational.defs ++ graft.queries.Geo.defs
+    graft.queries.Relational.defs ++ graft.queries.Geo.defs ++
+    graft.queries.TextOps.defs ++ graft.queries.Similarity.defs
 
   /** Flagship: the full north-rule pipeline — fixture admin areas ×
     * synthetic pages → containment join → tiles (rows > 0). */

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.TextFunctions
+import graft.util.{QueryDef, Tables}
+
+/** Training-data pipeline operators (dedup / similarity / text analysis)
+  * over the documents + embeddings tables, each DuckDB-oracled via the
+  * shared codepoint polynomial hash (see TextExpressions.scala).
+  *
+  * All integer arithmetic (scaled ratios, quantized distances) so both
+  * engines agree bit-for-bit. `corpus` unions deterministic near-dups
+  * (suffix-modified) and exact dups so the dedup operators have real
+  * positives to find.
+  */
+object TextOps {
+
+  private val P = 1000000007L
+
+  /** Spark-side corpus: documents + planted near-dups + exact dups. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    TextFunctions.register(s)
+    val docs = Tables.t(s, d, "documents").select("doc_id", "text")
+    val near = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate suffix")).as("text"))
+    val exact = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    docs.union(near).union(exact)
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text || ' near duplicate suffix'
+      |  FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL SELECT doc_id + 2000000, text
+      |  FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
+  /** DuckDB rendering of the shared polynomial hash. */
+  private def ph(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(regexp_split_to_array($e, ''), " +
+      s"c -> unicode(c))), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  private def sph(c: Column): Column = TextFunctions.str_poly_hash(c)
+
+  /** Spark-side word-3-gram shingle hash set. */
+  private def shingleSet(text: Column): Column = {
+    val t = split(lower(text), " ")
+    array_distinct(
+      when(size(t) < 3, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 2),
+          i => sph(concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))))
+  }
+
+  private val shingleSetSql = // per-row `toks` list column assumed
+    s"""list_distinct(list_transform(
+       |  range(1, greatest(len(toks) - 1, 1)),
+       |  i -> ${ph("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // document fingerprinting (rolling/polynomial hash)
+    QueryDef(
+      "q_text_fingerprint",
+      (s, d) => corpus(s, d)
+        .select(col("doc_id"), sph(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${ph("text")} AS fp
+              |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
+
+    // token counting: whitespace tokens + a BPE-ish chars/4 estimate
+    QueryDef(
+      "q_token_count",
+      (s, d) => corpus(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        expr("(length(text) + 3) DIV 4").as("est_bpe"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              |  len(text) AS n_chars, (len(text) + 3) // 4 AS est_bpe
+              |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
+
+    // language-ID heuristic: scaled stopword scores, deterministic CASE
+    QueryDef(
+      "q_lang_id",
+      (s, d) => {
+        def cnt(pat: String) =
+          s"CAST((length(lower(text)) - length(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
+        corpus(s, d).select(col("doc_id"),
+          expr(s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
+            s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
+            s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END").as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def cnt(pat: String) =
+          s"CAST((len(lower(text)) - len(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
+        s"""SELECT doc_id,
+           |  CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en'
+           |       WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr'
+           |       WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END AS lang_pred
+           |FROM ($corpusSql) ORDER BY doc_id""".stripMargin
+      }),
+
+    // quality scoring: integer-scaled length / stopword ratios
+    QueryDef(
+      "q_quality_score",
+      (s, d) => corpus(s, d).select(col("doc_id"),
+        expr("length(text) * 100 DIV greatest(size(split(text, ' ')), 1)").as("avg_tok_len_x100"),
+        expr("CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) * 1000 " +
+          "DIV greatest(size(split(text, ' ')), 1)").as("stop_ratio_x1000"),
+        (length(col("text")) < 100).cast("int").as("too_short"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  len(text) * 100 // greatest(len(string_split(text, ' ')), 1) AS avg_tok_len_x100,
+              |  CAST((len(lower(text)) - len(replace(lower(text), ' the ', ''))) / 5 AS BIGINT) * 1000
+              |    // greatest(len(string_split(text, ' ')), 1) AS stop_ratio_x1000,
+              |  CAST(len(text) < 100 AS INTEGER) AS too_short
+              |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
+
+    // exact dedup: hash-groupBy on text
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) => corpus(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select("keeper", "n_copies")
+        .orderBy("keeper"),
+      Some(s"""SELECT min(doc_id) AS keeper, count(*) AS n_copies
+              |FROM ($corpusSql) GROUP BY text HAVING count(*) > 1
+              |ORDER BY keeper""".stripMargin)),
+
+    // minhash signatures: k=8 linear hashes over word-3-gram shingles
+    QueryDef(
+      "q_minhash_sig",
+      (s, d) => corpus(s, d)
+        .select(col("doc_id"), explode(shingleSet(col("text"))).as("x"))
+        .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(7))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(min(pmod((lit(1) + col("j") * 2) * col("x") % P + col("j") * 17 % P,
+          lit(P))).as("mh"))
+        .orderBy("doc_id", "j"),
+      Some(s"""WITH c AS ($corpusSql),
+              |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
+              |sh AS (SELECT doc_id, unnest($shingleSetSql) AS x FROM tk),
+              |ex AS (SELECT doc_id, x, unnest(range(0, 8)) AS j FROM sh)
+              |SELECT doc_id, j,
+              |  CAST(min(((1 + j * 2) * x % 1000000007 + j * 17 % 1000000007)
+              |       % 1000000007) AS BIGINT) AS mh
+              |FROM ex GROUP BY doc_id, j ORDER BY doc_id, j""".stripMargin)),
+
+    // minhash + LSH banding (r=2, b=4) + exact-jaccard verify ≥ 0.5
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      (s, d) => {
+        val sig = corpus(s, d)
+          .select(col("doc_id"), explode(shingleSet(col("text"))).as("x"))
+          .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(7))).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(min(pmod((lit(1) + col("j") * 2) * col("x") % P + col("j") * 17 % P, lit(P))).as("mh"))
+        val bands = sig.withColumn("band", expr("j DIV 2"))
+          .groupBy("doc_id", "band")
+          .agg(min(col("mh")).as("mh_a"), max(col("mh")).as("mh_b"))
+        val pairs = bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.mh_a") === col("r.mh_a") &&
+              col("l.mh_b") === col("r.mh_b") && col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
+        val sets = corpus(s, d).select(col("doc_id"), shingleSet(col("text")).as("shs"))
+        pairs
+          .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+          .withColumn("n_int", size(array_intersect(col("s1"), col("s2"))))
+          .withColumn("jacc1000",
+            expr("n_int * 1000 DIV (size(s1) + size(s2) - n_int)"))
+          .filter(col("jacc1000") >= 500)
+          .select("d1", "d2", "jacc1000")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH c AS ($corpusSql),
+              |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
+              |st AS (SELECT doc_id, $shingleSetSql AS shs FROM tk),
+              |sh AS (SELECT doc_id, unnest(shs) AS x FROM st),
+              |ex AS (SELECT doc_id, x, unnest(range(0, 8)) AS j FROM sh),
+              |sig AS (SELECT doc_id, j,
+              |  CAST(min(((1 + j * 2) * x % 1000000007 + j * 17 % 1000000007)
+              |       % 1000000007) AS BIGINT) AS mh
+              |  FROM ex GROUP BY doc_id, j),
+              |bands AS (SELECT doc_id, j // 2 AS band, min(mh) AS mh_a, max(mh) AS mh_b
+              |  FROM sig GROUP BY doc_id, j // 2),
+              |pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+              |  FROM bands l JOIN bands r ON l.band = r.band AND l.mh_a = r.mh_a
+              |    AND l.mh_b = r.mh_b AND l.doc_id < r.doc_id)
+              |SELECT d1, d2,
+              |  len(list_intersect(a.shs, b.shs)) * 1000
+              |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jacc1000
+              |FROM pairs JOIN st a ON a.doc_id = d1 JOIN st b ON b.doc_id = d2
+              |WHERE len(list_intersect(a.shs, b.shs)) * 1000
+              |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 500
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // simhash (16-bit, token-level)
+    QueryDef(
+      "q_simhash",
+      (s, d) => {
+        val th = corpus(s, d)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), sph(col("tok")).as("th"))
+          .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("sgn", expr("CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END"))
+          .groupBy("doc_id", "b").agg(sum(col("sgn")).as("s"))
+        th.groupBy("doc_id")
+          .agg(sum(expr("CASE WHEN s > 0 THEN 1 << b ELSE 0 END")).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS ($corpusSql),
+              |tt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM c),
+              |th AS (SELECT doc_id, ${ph("tok")} AS th FROM tt),
+              |bb AS (SELECT doc_id, th, unnest(range(0, 16)) AS b FROM th),
+              |sg AS (SELECT doc_id, b,
+              |  CAST(sum(CASE WHEN (th >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+              |  FROM bb GROUP BY doc_id, b)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN s > 0 THEN 1 << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // n-gram (char-3) jaccard on a deterministic subset of pairs
+    QueryDef(
+      "q_ngram_jaccard",
+      (s, d) => {
+        val sub = corpus(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select(col("doc_id"), expr(
+            "CASE WHEN length(text) < 3 THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
+              "array_distinct(transform(sequence(1, length(text) - 2), " +
+              "i -> str_poly_hash(substring(text, i, 3)))) END").as("gs"))
+        val a = sub.select(col("doc_id").as("d1"), col("gs").as("g1"))
+        val b = sub.select(col("doc_id").as("d2"), col("gs").as("g2"))
+        a.crossJoin(b).filter(col("d1") < col("d2"))
+          .withColumn("n_int", size(array_intersect(col("g1"), col("g2"))))
+          .withColumn("jacc1000",
+            expr("n_int * 1000 DIV greatest(size(g1) + size(g2) - n_int, 1)"))
+          .select("d1", "d2", "jacc1000")
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH c AS ($corpusSql),
+              |gs AS (SELECT doc_id,
+              |  CASE WHEN len(text) < 3 THEN [] ELSE
+              |    list_distinct(list_transform(range(1, len(text) - 1),
+              |      i -> ${ph("text[i:i+2]")})) END AS gs
+              |  FROM c WHERE doc_id % 17 = 0)
+              |SELECT a.doc_id AS d1, b.doc_id AS d2,
+              |  len(list_intersect(a.gs, b.gs)) * 1000
+              |    // greatest(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)), 1) AS jacc1000
+              |FROM gs a, gs b WHERE a.doc_id < b.doc_id
+              |ORDER BY d1, d2""".stripMargin)),
+
+    // embedding kNN, integer-quantized L2 (brute force, exact oracle)
+    QueryDef(
+      "q_embed_knn_l2q",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings").select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+        val a = emb.select(col("vec_id").as("a_id"), col("q").as("qa"))
+        val b = emb.select(col("vec_id").as("b_id"), col("q").as("qb"))
+        a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+          .withColumn("d2", aggregate(zip_with(col("qa"), col("qb"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v))
+          .groupBy("a_id")
+          .agg(min(struct(col("d2"), col("b_id"))).as("m"))
+          .select(col("a_id").as("vec_id"), col("m.b_id").as("nn_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x -> round(x * 1000)) AS q,
+             |    CAST(list_sum(list_transform(embedding,
+             |      x -> round(x * 1000) * round(x * 1000))) AS BIGINT) AS qq
+             |  FROM embeddings)
+             |SELECT vec_id, nn_id FROM (
+             |  SELECT a.vec_id, b.vec_id AS nn_id,
+             |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |      a.qq + b.qq - 2 * CAST(list_inner_product(a.q, b.q) AS BIGINT),
+             |      b.vec_id) AS rk
+             |  FROM q a, q b WHERE a.vec_id <> b.vec_id)
+             |WHERE rk = 1 ORDER BY vec_id""".stripMargin))
+  )
+}
