@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.norm.Normalize
+import graft.pbf.PbfRead
+import graft.util.QueryDef
+
+/** OSM pipeline invariants surfaced through the driver gate as
+  * VALUES-oracled summary rows (the heavy lifting is in the specs;
+  * these make the round-trip property machine-checked every round). */
+object OsmQueries {
+
+  private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // master property: pbf → apidb tables → reassemble ≡ original
+    QueryDef(
+      "q_osm_roundtrip",
+      (s, _) => {
+        val osm = PbfRead.read(s, fixture)
+        val back = Normalize.reassemble(s, Normalize.demux(osm))
+        val diffs = Normalize.diffCount(osm, back)
+        val n = osm.count()
+        import s.implicits._
+        Seq((n, diffs)).toDF("n_entities", "n_diffs")
+      },
+      Some("""SELECT CAST(45000 AS BIGINT) AS n_entities,
+             |       CAST(0 AS BIGINT) AS n_diffs""".stripMargin)),
+
+    // A3/D1: count objects by kind (reference count_objects, lib.rs:50)
+    QueryDef(
+      "q_osm_counts",
+      (s, _) => {
+        import s.implicits._
+        PbfRead.read(s, fixture).groupBy("kind").count().orderBy("kind")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(0 AS TINYINT), CAST(41861 AS BIGINT)),
+             | (CAST(1 AS TINYINT), CAST(3014 AS BIGINT)),
+             | (CAST(2 AS TINYINT), CAST(125 AS BIGINT))
+             |) AS t(kind, count) ORDER BY kind""".stripMargin)),
+
+    // D2: bounding-box fold over visible nodes (reference lib.rs:255-291)
+    QueryDef(
+      "q_osm_bbox",
+      (s, _) =>
+        PbfRead.read(s, fixture).toDF()
+          .filter(col("kind") === 0 && col("visible"))
+          .agg(min("lon7").as("left7"), min("lat7").as("bottom7"),
+            max("lon7").as("right7"), max("lat7").as("top7")),
+      Some("""SELECT CAST(-1701595029 AS BIGINT) AS left7,
+             |  CAST(-193548665 AS BIGINT) AS bottom7,
+             |  CAST(-1695647229 AS BIGINT) AS right7,
+             |  CAST(-187534559 AS BIGINT) AS top7""".stripMargin))
+  )
+}
