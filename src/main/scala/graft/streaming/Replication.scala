@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.OsmEntity
+
+/** Structured Streaming surface (SURVEY.md §2-H). The reference defers
+  * replication sync to roadmap v0.2 (README.md:15-17) and only carries
+  * the osmosis replication header fields; here the planned semantics are
+  * implemented Spark-natively:
+  *
+  *  - `upsertLatest`: a stream of replication diffs (OsmEntity rows with
+  *    increasing versions) keyed by (kind, id), `flatMapGroupsWithState`
+  *    keeping the highest version — emits one row per update whenever
+  *    the current winner changes (upsert-by-version).
+  *  - `windowedEventCounts`: watermarked tumbling-window counts, the
+  *    generic streaming aggregation smoke-tested on the events table.
+  */
+object Replication {
+
+  final case class Upsert(kind: Byte, id: Long, version: Int, visible: Boolean)
+
+  /** Keep the max-version row per (kind,id); emit on change. */
+  def upsertLatest(spark: SparkSession, diffs: Dataset[OsmEntity]): Dataset[Upsert] = {
+    import spark.implicits._
+    diffs.groupByKey(e => (e.kind, e.id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Byte, Long), rows: Iterator[OsmEntity], state: GroupState[Int]) => {
+          val prev = state.getOption.getOrElse(-1)
+          val best = rows.maxBy(_.version)
+          if (best.version > prev) {
+            state.update(best.version)
+            Iterator(Upsert(key._1, key._2, best.version, best.visible))
+          } else Iterator.empty
+        })
+  }
+
+  /** Watermarked tumbling-window counts over an event stream with
+    * (ts TIMESTAMP, event_type STRING, value DOUBLE). */
+  def windowedEventCounts(events: DataFrame,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ parquet → event time
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_c"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_c"))
+}
