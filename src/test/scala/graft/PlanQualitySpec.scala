@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.SpatialJoin
+import graft.synth.Pages
+
+/** Physical-plan assertions (SURVEY.md §4): the 100 TB concerns — column
+  * pruning reaches the scan, small sides broadcast, hot paths stay in
+  * whole-stage codegen — are pinned here so regressions fail loudly. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan
+    plan.toString() + "\n" + df.queryExecution.toString
+  }
+
+  test("geoparse over parquet pages prunes html (reads only url+text)") {
+    val dir = "/tmp/graft-test-pages-parquet"
+    Pages.generate(spark, 1000).write.mode("overwrite").parquet(dir)
+    val pts = SpatialJoin.geoparsedPoints(spark.read.parquet(dir))
+    val scan = pts.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("url") && scan.contains("text"))
+    assert(!scan.contains("html"),
+      s"html must be pruned from the parquet scan:\n$scan")
+    assert(!scan.contains("warc_ts") && !scan.contains("lang"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L).select("l_partkey")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("l_orderkey"),
+      s"expected pushed filter on l_orderkey:\n$scan")
+  }
+
+  test("dimension joins broadcast (no shuffle of the small side)") {
+    val plan = planString(
+      SparkEntry.queries("q_join_dims")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("spatial containment join broadcasts the cover at fixture scale") {
+    import spark.implicits._
+    val areas = graft.jobs.AdminAreas.build(spark,
+      graft.pbf.PbfRead.read(spark, "/root/reference/tests/fixtures/niue-230612.osm.pbf"))
+    val prep = SpatialJoin.prepare(spark, areas)
+    val joined = SpatialJoin.run(spark, Pages.generate(spark, 1000), prep,
+      SpatialJoin.Params())
+    val plan = joined.joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      "small cover side must broadcast — a shuffle here would dominate at scale")
+  }
+
+  test("geo expressions stay inside WholeStageCodegen") {
+    import graft.expr.{GeoFunctions => G}
+    import spark.implicits._
+    val df = spark.range(100)
+      .select((col("id") % 100).as("lat7"), (col("id") % 200).as("lon7"))
+      .select(G.cell_encode(col("lat7"), col("lon7"), lit(12)).as("c"),
+        G.tile_zxy(col("lat7"), col("lon7"), lit(10)).as("t"))
+    val exec = df.queryExecution.executedPlan
+    val fused = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString()
+    }
+    // the custom expressions must appear INSIDE a fused codegen stage
+    assert(fused.exists(s => s.contains("cellencodeexpr") && s.contains("tilezxyexpr")),
+      s"plan:\n$exec")
+    df.collect() // and the fused stage must actually compile + run
+  }
+
+  test("tile aggregation is a single partial+final aggregate (one shuffle)") {
+    import spark.implicits._
+    val joined = Seq(("u", -190000000L, -1699000000L, 1L))
+      .toDF("url", "lat7", "lon7", "relation_id")
+    val tiles = SpatialJoin.tiles(joined, 12)
+    val plan = tiles.queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"tiles must shuffle exactly once:\n$plan")
+  }
+}
