@@ -121,8 +121,12 @@ object Bench {
     // one socket saturates shared DRAM bandwidth, which a real 4N-node
     // cluster would NOT share (each node brings its own memory bus) —
     // the full ladder is reported for transparency.
+    // two measurements per rung, best-of (throughput benches are noisy:
+    // page-cache state, turbo, background JVMs)
     val ladder = Seq(1, 4, 16, 32).filter(_ <= cpus).map { c =>
-      c -> measurePinned(c, nPages)
+      val a = measurePinned(c, nPages)
+      val b = measurePinned(c, nPages)
+      c -> (if (a._1 >= b._1) a else b)
     }
     val lo = ladder.find(_._1 == 1).map(_._2).getOrElse(ladder.head._2)
     val hi = ladder.find(_._1 == 4).map(_._2).getOrElse(ladder.last._2)

@@ -19,20 +19,21 @@ object Similarity {
     QueryDef(
       "q_embed_cosine_topk",
       (s, d) => {
+        // unit-normalize ONCE per side; cosine of unit vectors == dot —
+        // recomputing norms per pair tripled the per-pair cost
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), transform(col("embedding"),
             x => x.cast("double")).as("v"))
-        val a = emb.select(col("vec_id").as("a_id"), col("v").as("va"))
-        val b = emb.select(col("vec_id").as("b_id"), col("v").as("vb"))
+          .withColumn("n", sqrt(aggregate(transform(col("v"), x => x * x),
+            lit(0.0), (acc, v) => acc + v)))
+          .select(col("vec_id"),
+            transform(col("v"), x => x / col("n")).as("u"))
+        val a = emb.select(col("vec_id").as("a_id"), col("u").as("ua"))
+        val b = emb.select(col("vec_id").as("b_id"), col("u").as("ub"))
         val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
         a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
-          .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
+          .withColumn("cos", aggregate(zip_with(col("ua"), col("ub"),
             (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-          .withColumn("na", sqrt(aggregate(transform(col("va"), x => x * x),
-            lit(0.0), (acc, v) => acc + v)))
-          .withColumn("nb", sqrt(aggregate(transform(col("vb"), x => x * x),
-            lit(0.0), (acc, v) => acc + v)))
-          .withColumn("cos", col("dot") / (col("na") * col("nb")))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("a_id").as("vec_id"), col("rk"), col("b_id").as("nn_id"))
