@@ -128,6 +128,10 @@ object GeoFunctions {
     column(TileZXYExpr(expression(lat7), expression(lon7), expression(zoom)))
   def point_in_rings(lon7: Column, lat7: Column, rings: Column): Column =
     column(PointInRingsExpr(expression(lon7), expression(lat7), expression(rings)))
+  def point_in_cell(lon7: Column, lat7: Column, cell: Column,
+      cornerInside: Column, edges: Column): Column =
+    column(PointInCellExpr(expression(lon7), expression(lat7), expression(cell),
+      expression(cornerInside), expression(edges)))
   def geoparse_packed(text: Column): Column =
     column(GeoparseExpr(expression(text)))
   def packed_lat7(p: Column): Column = {
@@ -155,4 +159,24 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("geoparse_packed",
       es => GeoparseExpr(es(0)), "built-in")
   }
+}
+
+/** point_in_cell(lon7, lat7, cell, corner_inside, edges ARRAY<BIGINT>) →
+  * BOOLEAN — the localized refine (GeomCell.pointInCell): containment
+  * from the cell's SW-corner parity plus only the cell-local edges, so
+  * evaluation cost is independent of polygon size. */
+case class PointInCellExpr(lon: Expression, lat: Expression, cell: Expression,
+    cornerInside: Expression, edges: Expression) extends QuinaryExpression {
+  override def children: Seq[Expression] = Seq(lon, lat, cell, cornerInside, edges)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+    RT.pointInCell(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Boolean], e.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c, d, e) => s"graft.expr.RT.pointInCell($a, $b, $c, $d, $e)")
+  override protected def withNewChildrenInternal(
+      ch: IndexedSeq[Expression]): PointInCellExpr =
+    copy(ch(0), ch(1), ch(2), ch(3), ch(4))
 }

@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.geo.{Cells, Geom}
+import graft.geo.{Cells, Geom, GeomCell}
 
 /** Static runtime kernels referenced from generated (Janino) code — every
   * method here must be Java-callable via the Scala static forwarder.
@@ -40,6 +40,18 @@ object RT {
       r += 1
     }
     inside
+  }
+
+  /** Localized PIP (GeomCell.pointInCell) over an ArrayData edge list
+    * [ax,ay,bx,by]*; wx/sy derived from the cell id. */
+  def pointInCell(lon7: Long, lat7: Long, cell: Long, cornerInside: Boolean,
+      edges: ArrayData): Boolean = {
+    val (wx, sy, _, _) = Cells.bounds(cell)
+    val n = edges.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = edges.getLong(i); i += 1 }
+    GeomCell.pointInCell(lon7, lat7, wx, sy, cornerInside, arr)
   }
 
   /** Sentinel for "no coordinate found" (cannot collide with a packed

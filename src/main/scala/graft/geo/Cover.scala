@@ -17,6 +17,15 @@ object Cover {
 
   final case class CoverCell(cell: Long, full: Boolean)
 
+  /** Detailed boundary cell for the localized refine path (GeomCell):
+    * `edges` = only the polygon edges intersecting this cell;
+    * `cornerInside` = containment of the cell's SW corner; `fallback`
+    * marks the rare cells whose corner lies exactly on a boundary edge
+    * (parity transport undefined → refined against full rings). Full
+    * interior cells carry no edges. */
+  final case class CoverCellEx(cell: Long, full: Boolean,
+      cornerInside: Boolean, fallback: Boolean, edges: Array[Long])
+
   /** Flat edge list: [ax,ay,bx,by]* built from closed rings. */
   private def edgesOf(rings: Array[Array[Long]]): Array[Long] = {
     val out = new ArrayBuffer[Long]()
@@ -57,6 +66,15 @@ object Cover {
   def coverFrom(rings: Array[Array[Long]], seed: Long, maxLevel: Int,
       maxCells: Int = 65536): Array[CoverCell] =
     coverImpl(rings, Array(seed), maxLevel, maxCells)
+      .map(c => CoverCell(c.cell, c.full))
+
+  def coverDetailedFrom(rings: Array[Array[Long]], seed: Long, maxLevel: Int,
+      maxCells: Int = 65536): Array[CoverCellEx] =
+    coverImpl(rings, Array(seed), maxLevel, maxCells)
+
+  def coverDetailed(rings: Array[Array[Long]], maxLevel: Int,
+      maxCells: Int = 65536): Array[CoverCellEx] =
+    coverImpl(rings, startCells(rings, maxLevel), maxLevel, maxCells)
 
   /** Natural start cells: coarsest level where one cell is no bigger
     * than the bbox (≤ ~2x2 cells). */
@@ -89,16 +107,17 @@ object Cover {
   def cover(rings: Array[Array[Long]], maxLevel: Int,
       maxCells: Int = 65536): Array[CoverCell] =
     coverImpl(rings, startCells(rings, maxLevel), maxLevel, maxCells)
+      .map(c => CoverCell(c.cell, c.full))
 
   /** `maxCells` caps the output (safety valve for degenerate geometry:
     * when exceeded, remaining partial cells are emitted un-split —
     * correctness is preserved because partial cells always go through
     * PIP refine). */
   private def coverImpl(rings: Array[Array[Long]], roots: Array[Long],
-      maxLevel: Int, maxCells: Int): Array[CoverCell] = {
+      maxLevel: Int, maxCells: Int): Array[CoverCellEx] = {
     val edges = edgesOf(rings)
     if (edges.isEmpty || roots.isEmpty) return Array.empty
-    val out = new ArrayBuffer[CoverCell]()
+    val out = new ArrayBuffer[CoverCellEx]()
     var budget = maxCells
 
     def visit(cell: Long, es: Array[Long]): Unit = {
@@ -119,9 +138,21 @@ object Cover {
         // uniform cell: decide by center point against the FULL geometry
         val cx = lonLo + (rxHi - lonLo) / 2
         val cy = latLo + (ryHi - latLo) / 2
-        if (Geom.pointInRings(cx, cy, rings)) out += CoverCell(cell, full = true)
+        if (Geom.pointInRings(cx, cy, rings))
+          out += CoverCellEx(cell, full = true, cornerInside = true,
+            fallback = false, edges = Array.empty)
       } else if (Cells.level(cell) >= maxLevel || budget <= 0) {
-        out += CoverCell(cell, full = false)
+        val keptArr = kept.toArray
+        var cornerOnEdge = false
+        var j = 0
+        while (j < keptArr.length && !cornerOnEdge) {
+          cornerOnEdge = Geom.onSegment(lonLo, latLo,
+            keptArr(j), keptArr(j + 1), keptArr(j + 2), keptArr(j + 3))
+          j += 4
+        }
+        val cornerIn = Geom.pointInRings(lonLo, latLo, rings)
+        out += CoverCellEx(cell, full = false, cornerInside = cornerIn,
+          fallback = cornerOnEdge, edges = keptArr)
       } else {
         budget -= 4
         val ch = Cells.children(cell)

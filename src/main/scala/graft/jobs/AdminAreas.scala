@@ -35,6 +35,11 @@ object AdminAreas {
 
   final case class CoverRow(relationId: Long, cell: Long, full: Boolean)
 
+  /** Detailed cover row: clipped edges + SW-corner parity enable the
+    * localized refine (GeomCell) — no polygon geometry in the hot path. */
+  final case class CoverRowEx(relationId: Long, cell: Long, full: Boolean,
+      cornerInside: Boolean, fallback: Boolean, edges: Seq[Long])
+
   /** Latest visible version of each element id of one kind. */
   private def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("version").desc)
@@ -223,6 +228,16 @@ object AdminAreas {
   def coverTable(spark: SparkSession, areas: Dataset[AdminArea],
       maxLevel: Int): Dataset[CoverRow] = {
     import spark.implicits._
+    coverTableDetailed(spark, areas, maxLevel)
+      .map(c => CoverRow(c.relationId, c.cell, c.full))
+  }
+
+  /** Detailed variant: boundary cells carry clipped edges + corner
+    * parity so the join-side refine never touches full polygon rings
+    * (except the rare `fallback` cells). */
+  def coverTableDetailed(spark: SparkSession, areas: Dataset[AdminArea],
+      maxLevel: Int): Dataset[CoverRowEx] = {
+    import spark.implicits._
     val seeded = areas.filter(_.complete).flatMap { a =>
       val rings = a.rings.map(_.toArray).toArray
       Cover.seedCells(rings, maxLevel).map(seed => (a.relationId, seed, a.rings))
@@ -230,8 +245,9 @@ object AdminAreas {
     seeded
       .repartition(col("_2")) // spread seeds of one polygon across tasks
       .flatMap { case (rel, seed, rings) =>
-        Cover.coverFrom(rings.map(_.toArray).toArray, seed, maxLevel)
-          .map(cc => CoverRow(rel, cc.cell, cc.full))
+        Cover.coverDetailedFrom(rings.map(_.toArray).toArray, seed, maxLevel)
+          .map(cc => CoverRowEx(rel, cc.cell, cc.full, cc.cornerInside,
+            cc.fallback, cc.edges.toSeq))
       }
   }
 }

@@ -28,14 +28,14 @@ object Pipeline {
     val areas = areasDf.as[AdminArea]
 
     val (coverDf, sCover) = Snapshot.stage(spark, root, "cover",
-      Seq(sAreas.key, s"maxLevel:${p.coverMaxLevel}")) {
-      AdminAreas.coverTable(spark, areas, p.coverMaxLevel).toDF()
+      Seq(sAreas.key, s"maxLevel:${p.coverMaxLevel}", "v2-detailed")) {
+      AdminAreas.coverTableDetailed(spark, areas, p.coverMaxLevel).toDF()
     }
 
     val (joinedDf, sJoin) = Snapshot.stage(spark, root, "join",
       Seq(sAreas.key, sCover.key, s"pages:$nPages")) {
       import spark.implicits._
-      val cover = coverDf.as[AdminAreas.CoverRow]
+      val cover = coverDf.as[AdminAreas.CoverRowEx]
       val polygons = areasDf.filter(col("complete"))
         .select(col("relationId").as("relation_id"), col("rings"))
       val pts = SpatialJoin.geoparsedPoints(Pages.generate(spark, nPages))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{GeoFunctions => G}
-import graft.jobs.AdminAreas.{AdminArea, CoverRow}
+import graft.jobs.AdminAreas.{AdminArea, CoverRow, CoverRowEx}
 
 /** The flagship pipeline (SURVEY.md J5-J8, north rule): geoparse page
   * text → quadcell encode → multi-level cell equi-join against the
@@ -38,11 +38,17 @@ object SpatialJoin {
       .select(col("url"), G.packed_lat7(col("p")).as("lat7"),
         G.packed_lon7(col("p")).as("lon7"))
 
-  /** J5: containment join. Returns (url, lat7, lon7, relation_id). */
+  /** J5: containment join. Returns (url, lat7, lon7, relation_id).
+    * Refine is LOCALIZED (GeomCell): boundary cover rows carry their
+    * clipped edges + SW-corner parity, so per-candidate cost is
+    * O(edges-in-cell) — independent of polygon size — and the polygon
+    * rings table never enters the hot path (only the rare `fallback`
+    * cells join it). */
   def containmentJoin(spark: SparkSession, points: DataFrame,
-      cover: Dataset[CoverRow], polygons: DataFrame, p: Params): DataFrame = {
+      cover: Dataset[CoverRowEx], polygons: DataFrame, p: Params): DataFrame = {
     import spark.implicits._
-    val coverDf = cover.toDF("relation_id", "cell", "full")
+    val coverDf = cover.toDF("relation_id", "cell", "full", "corner_inside",
+      "fallback", "edges")
     // distinct cover levels: tiny (≤ maxLevel+1 values), driver-collected
     val levels = coverDf
       .select(shiftrightunsigned(col("cell"), 58).cast("int").as("l"))
@@ -72,17 +78,21 @@ object SpatialJoin {
           keyedS("salt") === coverS("salt"))
       }
 
-    // both branches recompute the candidate chain — it is a narrow
-    // all-codegen pipeline from the source scan (no shuffle), and two
-    // streaming passes beat materializing 10^7+ rows into the block
-    // manager (measured: checkpoint contention inverted 8c vs 32c)
+    // branches recompute the candidate chain — a narrow all-codegen
+    // pipeline from the source scan (no shuffle); streaming passes beat
+    // materializing 10^7+ rows into the block manager (measured:
+    // checkpoint contention inverted 8c vs 32c)
     val fullHits = cand.filter(col("full"))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    val partialHits = cand.filter(!col("full"))
+    val localHits = cand.filter(!col("full") && !col("fallback"))
+      .filter(G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
+        col("corner_inside"), col("edges")))
+      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+    val fallbackHits = cand.filter(col("fallback"))
       .join(polygons, "relation_id")
       .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    fullHits.union(partialHits)
+    fullHits.union(localHits).union(fallbackHits)
   }
 
   /** J6: nearest admin centre by cell-ring expansion. Distance is exact
@@ -178,13 +188,13 @@ object SpatialJoin {
 
   /** Prepared polygon side: built once, reused across page batches —
     * the cover is a property of the admin dataset, not of the pages. */
-  final case class Prepared(cover: Dataset[CoverRow], polygons: DataFrame,
+  final case class Prepared(cover: Dataset[CoverRowEx], polygons: DataFrame,
       centres: DataFrame)
 
   def prepare(spark: SparkSession, areas: Dataset[AdminArea],
       p: Params = Params()): Prepared = {
     val complete = areas.filter(_.complete).cache()
-    val cover = AdminAreas.coverTable(spark, complete, p.coverMaxLevel)
+    val cover = AdminAreas.coverTableDetailed(spark, complete, p.coverMaxLevel)
       .localCheckpoint() // materialize: read many times (levels + join)
     val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
       .localCheckpoint()

@@ -27,7 +27,7 @@ object Profile {
       PbfRead.read(spark, "/root/reference/tests/fixtures/niue-230612.osm.pbf")).cache()
     time("admin build")(areas.count())
     val cover = time("cover build") {
-      val c = AdminAreas.coverTable(spark, areas, 14).cache(); c.count(); c
+      val c = AdminAreas.coverTableDetailed(spark, areas, 17).cache(); c.count(); c
     }
     val pages = Pages.generate(spark, n)
     time("pages gen + count")(pages.count())
