@@ -97,56 +97,85 @@ object AdminAreas {
       }
   }
 
-  /** The iterative self-join loop. Returns (closed, failed) chains. */
+  /** The iterative self-join loop. Returns (closed, failed) chains.
+    *
+    * Pairing is RANDOM-MATE (deterministic: coin = parity of
+    * xxhash64(chainId, round)): head chains propose to their smallest
+    * adjacent tail, each tail accepts its smallest proposer. Expected
+    * ≥ constant-fraction merges per round for ANY id ordering — plain
+    * mutual-min degrades to one merge/round on rings whose member way
+    * ids ascend around the loop (common: boundaries drawn sequentially
+    * by one mapper), which made a 32-way ring take 31 rounds. */
   def assemble(spark: SparkSession, initial: Dataset[Chain],
-      maxRounds: Int = 30): (Dataset[Chain], Dataset[Chain]) = {
+      maxRounds: Int = 64): (Dataset[Chain], Dataset[Chain]) = {
     import spark.implicits._
-    var chains = initial.localCheckpoint()
+    // Dataset.localCheckpoint keeps the ORIGIN plan's statistics, so
+    // sizeInBytes estimates compound ~cubed per round and by round ~12
+    // Catalyst spends minutes multiplying 10^5-digit BigInts. Rebuilding
+    // from a checkpointed RDD resets stats to defaults each round.
+    def truncate(ds: Dataset[Chain]): Dataset[Chain] = {
+      val r = ds.rdd
+      r.localCheckpoint()
+      r.count()
+      spark.createDataset(r)
+    }
+    var chains = truncate(initial)
     var round = 0
     var openCount = chains.filter(!_.closed).count()
     while (openCount > 0 && round < maxRounds) {
       val open = chains.filter(!_.closed)
       val eps = open.select(col("relationId"), col("role"), col("chainId"),
         explode(array(col("aNode"), col("bNode"))).as("node")).distinct()
-      val adj = eps.as("l").join(eps.as("r"),
+        .withColumn("coin", pmod(xxhash64(col("chainId"), lit(round)), lit(2)))
+      val heads = eps.filter(col("coin") === 1)
+      val tails = eps.filter(col("coin") === 0)
+      val proposals = heads.as("l").join(tails.as("r"),
           col("l.relationId") === col("r.relationId") &&
             col("l.role") === col("r.role") &&
             col("l.node") === col("r.node") &&
             col("l.chainId") =!= col("r.chainId"))
         .groupBy(col("l.relationId").as("relationId"), col("l.role").as("role"),
-          col("l.chainId").as("chainId"))
-        .agg(min(col("r.chainId")).as("partner"))
-      val mutual = adj.as("p").join(adj.as("q"),
-          col("p.relationId") === col("q.relationId") &&
-            col("p.role") === col("q.role") &&
-            col("p.partner") === col("q.chainId") &&
-            col("q.partner") === col("p.chainId") &&
-            col("p.chainId") < col("q.chainId"))
-        .select(col("p.relationId").as("relationId"), col("p.role").as("role"),
-          col("p.chainId").as("leader"), col("q.chainId").as("follower"))
-      if (mutual.isEmpty) {
-        openCount = 0 // no mergeable pairs left: leftovers are failures
-      } else {
-        val leaderOf = mutual.select(col("relationId"), col("role"),
-            col("leader").as("chainId"), col("leader"))
-          .union(mutual.select(col("relationId"), col("role"),
-            col("follower").as("chainId"), col("leader")))
-        val tagged = chains.toDF().join(leaderOf, Seq("relationId", "role", "chainId"), "left_outer")
-          .withColumn("grp", coalesce(col("leader"), col("chainId")))
-        chains = tagged
-          .select(col("relationId"), col("role"), col("chainId"), col("aNode"),
-            col("bNode"), col("coords"), col("nWays"), col("closed"), col("grp"))
-          .as[(Long, String, Long, Long, Long, Seq[Long], Int, Boolean, Long)]
-          .groupByKey(t => (t._1, t._2, t._9))
-          .mapGroups { (_, it) =>
-            val cs = it.map(t => Chain(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8))
-              .toArray.sortBy(_.chainId)
-            if (cs.length == 1) cs.head
-            else mergeTwo(cs(0), cs(1))
-          }
-          .localCheckpoint()
-        openCount = chains.filter(!_.closed).count()
-      }
+          col("l.chainId").as("head"))
+        .agg(min(col("r.chainId")).as("tail"))
+      val mutual = proposals
+        .groupBy(col("relationId"), col("role"), col("tail"))
+        .agg(min(col("head")).as("head"))
+        .select(col("relationId"), col("role"),
+          col("head").as("leader"), col("tail").as("follower"))
+      // merge unconditionally (an empty pairing leaves every group a
+      // singleton); progress is observed from the open count afterwards
+      val leaderOf = mutual.select(col("relationId"), col("role"),
+          col("leader").as("chainId"), col("leader"))
+        .union(mutual.select(col("relationId"), col("role"),
+          col("follower").as("chainId"), col("leader")))
+      val tagged = chains.toDF().join(leaderOf, Seq("relationId", "role", "chainId"), "left_outer")
+        .withColumn("grp", coalesce(col("leader"), col("chainId")))
+      chains = tagged
+        .select(col("relationId"), col("role"), col("chainId"), col("aNode"),
+          col("bNode"), col("coords"), col("nWays"), col("closed"), col("grp"))
+        .as[(Long, String, Long, Long, Long, Seq[Long], Int, Boolean, Long)]
+        .groupByKey(t => (t._1, t._2, t._9))
+        .mapGroups { (_, it) =>
+          val cs = it.map(t => Chain(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8))
+            .toArray.sortBy(_.chainId)
+          if (cs.length == 1) cs.head
+          else mergeTwo(cs(0), cs(1))
+        }
+      chains = truncate(chains)
+      val newOpen = chains.filter(!_.closed).count()
+      if (newOpen == openCount) {
+        // no merge this round: either an unlucky coin split (retry —
+        // coins change with `round`) or no adjacency at all (then the
+        // leftovers are unclosable failures; checked once, not per round)
+        val anyAdjacency = !eps.as("l").join(eps.as("r"),
+          col("l.relationId") === col("r.relationId") &&
+            col("l.role") === col("r.role") &&
+            col("l.node") === col("r.node") &&
+            col("l.chainId") =!= col("r.chainId")).isEmpty
+        if (!anyAdjacency) openCount = 0 else openCount = newOpen
+      } else openCount = newOpen
+      if (sys.env.contains("GRAFT_STITCH_DEBUG"))
+        println(f"[stitch] round=$round open=$openCount t=${System.nanoTime() / 1e9}%.1f")
       round += 1
     }
     (chains.filter(_.closed), chains.filter(c => !c.closed))
