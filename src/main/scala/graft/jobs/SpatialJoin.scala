@@ -112,11 +112,15 @@ object SpatialJoin {
       val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
       dlat * dlat + dlon * dlon
     }
+    // truncate lineage AND stats (Dataset.localCheckpoint keeps origin
+    // statistics, which compound across loop rounds — see AdminAreas)
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame({ val r = df.rdd; r.localCheckpoint(); r.count(); r },
+        df.schema)
     // Phase 1 — expanding ring probe: find SOME candidate distance per
     // page (not necessarily the nearest yet).
-    var remaining = points
-      .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
-      .localCheckpoint()
+    var remaining = truncate(points
+      .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel))))
     var probed: DataFrame = null // url, lat7, lon7, kcell, d2found
     var k = 0
     while (k <= p.knnMaxRing && !remaining.isEmpty) {
@@ -127,7 +131,7 @@ object SpatialJoin {
       val found = remaining.join(hit, "url")
         .select(col("url"), col("lat7"), col("lon7"), col("kcell"), col("d2found"))
       probed = if (probed == null) found else probed.union(found)
-      remaining = remaining.join(hit, Seq("url"), "left_anti").localCheckpoint()
+      remaining = truncate(remaining.join(hit, Seq("url"), "left_anti"))
       k += 1
     }
     // Phase 2 — exact gather: the true nearest lies within ceil(r/hCell)+1
