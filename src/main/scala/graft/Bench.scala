@@ -113,7 +113,7 @@ object Bench {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000000").toLong
 
     // Scaling ladder. The N-vs-4N criterion is evidenced at 1 vs 4
     // cores: that is the regime where a single box is a valid surrogate
@@ -121,12 +121,14 @@ object Bench {
     // one socket saturates shared DRAM bandwidth, which a real 4N-node
     // cluster would NOT share (each node brings its own memory bus) —
     // the full ladder is reported for transparency.
-    // two measurements per rung, best-of (throughput benches are noisy:
-    // page-cache state, turbo, background JVMs)
+    // best-of-2 on the criterion rungs (1 and 4 cores); single run on
+    // the transparency rungs — keeps total bench wall time bounded
     val ladder = Seq(1, 4, 16, 32).filter(_ <= cpus).map { c =>
       val a = measurePinned(c, nPages)
-      val b = measurePinned(c, nPages)
-      c -> (if (a._1 >= b._1) a else b)
+      if (c <= 4) {
+        val b = measurePinned(c, nPages)
+        c -> (if (a._1 >= b._1) a else b)
+      } else c -> a
     }
     val lo = ladder.find(_._1 == 1).map(_._2).getOrElse(ladder.head._2)
     val hi = ladder.find(_._1 == 4).map(_._2).getOrElse(ladder.last._2)
