@@ -27,6 +27,72 @@ object TextRT {
     }
     h
   }
+
+  /** Distinct polyHash values of all word-3-gram shingles of an
+    * (already lowercased) text — ≡ array_distinct(transform(...)) over
+    * split(text, ' ') but in one tight codegen-callable loop (the
+    * interpreted higher-order-function formulation dominated round-1
+    * minhash time). First-occurrence order, matching array_distinct. */
+  def shingleHashes(lowered: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // split semantics must equal Spark's split(text, " ") = Java regex
+    // split with limit -1 (trailing empty tokens kept)
+    val toks = lowered.toString.split(" ", -1)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    while (i + 2 < n) {
+      // polyHash of (toks(i) + " " + toks(i+1) + " " + toks(i+2)):
+      // code points of the concatenation == concatenation of code points
+      var h = Seed
+      var t = 0
+      while (t < 3) {
+        val tok = toks(i + t)
+        var ci = 0
+        while (ci < tok.length) {
+          val cp = tok.codePointAt(ci)
+          h = (h * 31 + cp) % P
+          ci += Character.charCount(cp)
+        }
+        if (t < 2) h = (h * 31 + 32L) % P // ' '
+        t += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** k=8 minhash signature over a shingle-hash array:
+    * sig(j) = min_x ((1+2j)·x mod P + 17j mod P) mod P — the exact
+    * arithmetic of the round-1 column formulation (and of the DuckDB
+    * oracle). Empty input → empty signature (callers filter those). */
+  def minhashSig(shs: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = shs.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](8)
+    var j = 0
+    while (j < 8) {
+      val a = 1L + 2L * j
+      val b = (17L * j) % P
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * shs.getLong(i) % P + b) % P
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** str_poly_hash(text) → BIGINT in [0, 1e9+7). Deterministic document
@@ -43,13 +109,46 @@ case class StrPolyHashExpr(text: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): StrPolyHashExpr = copy(c)
 }
 
+/** shingle_hashes(lowered_text) → ARRAY<BIGINT>: distinct polyHash of
+  * word-3-gram shingles (pass text through lower() first). */
+case class ShingleHashesExpr(text: Expression) extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any =
+    TextRT.shingleHashes(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextRT.shingleHashes($c)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr = copy(c)
+}
+
+/** minhash_sig(shingle_hashes) → ARRAY<BIGINT> of the 8 signature minima. */
+case class MinhashSigExpr(shs: Expression) extends UnaryExpression {
+  override def child: Expression = shs
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    TextRT.minhashSig(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextRT.minhashSig($c)")
+  override protected def withNewChildInternal(c: Expression): MinhashSigExpr = copy(c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
 
   def str_poly_hash(text: Column): Column =
     column(StrPolyHashExpr(expression(text)))
+  def shingle_hashes(loweredText: Column): Column =
+    column(ShingleHashesExpr(expression(loweredText)))
+  def minhash_sig(shs: Column): Column =
+    column(MinhashSigExpr(expression(shs)))
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "str_poly_hash", es => StrPolyHashExpr(es.head), "built-in")
+    // register once per session — re-registration is a WARN per call in
+    // the function registry, which spammed the round-1 bench logs
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("str_poly_hash")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "str_poly_hash", es => StrPolyHashExpr(es.head), "built-in")
 }

@@ -45,20 +45,32 @@ object TextOps {
 
   private def sph(c: Column): Column = TextFunctions.str_poly_hash(c)
 
-  /** Spark-side word-3-gram shingle hash set. */
-  private def shingleSet(text: Column): Column = {
-    val t = split(lower(text), " ")
-    array_distinct(
-      when(size(t) < 3, array().cast("array<bigint>"))
-        .otherwise(transform(sequence(lit(1), size(t) - 2),
-          i => sph(concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))))
-  }
+  /** Spark-side word-3-gram shingle hash set (codegen kernel — same
+    * values as array_distinct(transform(split(lower(text)),...)) with
+    * the shared polynomial hash, but one fused loop per row). */
+  private def shingleSet(text: Column): Column =
+    TextFunctions.shingle_hashes(lower(text))
 
   private val shingleSetSql = // per-row `toks` list column assumed
     s"""list_distinct(list_transform(
        |  range(1, greatest(len(toks) - 1, 1)),
        |  i -> ${ph("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
+
+  /** k=8 minhash signature as a PER-ROW array expression over the
+    * shingle set — zero fan-out, zero shuffle. (Round-1 used
+    * explode(shingles)×explode(8 hash indices)→groupBy, which shuffled
+    * docs×shingles×8 rows and was 59% of total bench time.) Same hash
+    * family mh_j = min_x ((1+2j)·x mod P + 17j mod P) mod P, so the
+    * DuckDB oracle is unchanged. */
+  private def minhashSig(shs: Column): Column = TextFunctions.minhash_sig(shs)
+
+  /** Per-doc shingle sets with at least one shingle (docs under 3 tokens
+    * produced no rows in the exploded round-1 plan; the filter keeps the
+    * output — and the oracle — identical). */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"), shingleSet(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -135,15 +147,14 @@ object TextOps {
               |FROM ($corpusSql) GROUP BY text HAVING count(*) > 1
               |ORDER BY keeper""".stripMargin)),
 
-    // minhash signatures: k=8 linear hashes over word-3-gram shingles
+    // minhash signatures: k=8 linear hashes over word-3-gram shingles,
+    // computed per row (narrow, no shuffle before the final sort)
     QueryDef(
       "q_minhash_sig",
-      (s, d) => corpus(s, d)
-        .select(col("doc_id"), explode(shingleSet(col("text"))).as("x"))
-        .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(7))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(min(pmod((lit(1) + col("j") * 2) * col("x") % P + col("j") * 17 % P,
-          lit(P))).as("mh"))
+      (s, d) => shingled(s, d)
+        .select(col("doc_id"), posexplode(minhashSig(col("shs"))))
+        .withColumnRenamed("pos", "j")
+        .withColumnRenamed("col", "mh")
         .orderBy("doc_id", "j"),
       Some(s"""WITH c AS ($corpusSql),
               |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
@@ -158,19 +169,24 @@ object TextOps {
     QueryDef(
       "q_dedup_minhash_lsh",
       (s, d) => {
-        val sig = corpus(s, d)
-          .select(col("doc_id"), explode(shingleSet(col("text"))).as("x"))
-          .select(col("doc_id"), col("x"), explode(sequence(lit(0), lit(7))).as("j"))
-          .groupBy("doc_id", "j")
-          .agg(min(pmod((lit(1) + col("j") * 2) * col("x") % P + col("j") * 17 % P, lit(P))).as("mh"))
-        val bands = sig.withColumn("band", expr("j DIV 2"))
-          .groupBy("doc_id", "band")
-          .agg(min(col("mh")).as("mh_a"), max(col("mh")).as("mh_b"))
+        // per-row signature → per-row (r=2) band digests: the only
+        // shuffle before the verify joins is the LSH band self-join
+        // itself (the right bucketed shape — never all-pairs)
+        val bands = shingled(s, d)
+          .withColumn("sig", minhashSig(col("shs")))
+          .select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), lit(3)), b => struct(
+              least(element_at(col("sig"), b * 2 + 1),
+                element_at(col("sig"), b * 2 + 2)).as("mh_a"),
+              greatest(element_at(col("sig"), b * 2 + 1),
+                element_at(col("sig"), b * 2 + 2)).as("mh_b")))))
+          .select(col("doc_id"), col("pos").as("band"),
+            col("col.mh_a").as("mh_a"), col("col.mh_b").as("mh_b"))
         val pairs = bands.as("l").join(bands.as("r"),
             col("l.band") === col("r.band") && col("l.mh_a") === col("r.mh_a") &&
               col("l.mh_b") === col("r.mh_b") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
-        val sets = corpus(s, d).select(col("doc_id"), shingleSet(col("text")).as("shs"))
+        val sets = shingled(s, d)
         pairs
           .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
           .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")

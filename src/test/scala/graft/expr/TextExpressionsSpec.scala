@@ -1,0 +1,80 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The shingle/minhash codegen kernels must be value-identical to the
+  * declarative column formulation they replaced (which is also the
+  * form the DuckDB oracle mirrors). */
+class TextExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val P = 1000000007L
+
+  /** The round-1 declarative formulation, kept as the test oracle. */
+  private def shingleSetDecl(text: Column): Column = {
+    val t = split(lower(text), " ")
+    array_distinct(
+      when(size(t) < 3, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 2),
+          i => TextFunctions.str_poly_hash(concat_ws(" ",
+            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))))
+  }
+
+  private def minhashSigDecl(shs: Column): Column =
+    transform(sequence(lit(0), lit(7)), j =>
+      array_min(transform(shs, x =>
+        pmod((lit(1) + j * 2) * x % P + j * 17 % P, lit(P)))))
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two three",
+    "too short",
+    "single",
+    "",
+    "trailing space ",       // split keeps trailing empty token
+    " leading and  double ", // empty tokens participate in shingles
+    "Unicode ÄÖÜ tokens müssen auch funktionieren genau so wie hier",
+    "astral 😀 smiley plane code point test okay",
+    "repeat repeat repeat repeat repeat repeat")
+
+  test("shingle_hashes kernel ≡ declarative array_distinct/transform formulation") {
+    val df = texts.toDF("text")
+      .withColumn("fast", TextFunctions.shingle_hashes(lower($"text")))
+      .withColumn("decl", shingleSetDecl($"text"))
+    for (r <- df.collect()) {
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"text=${r.getString(0)}")
+    }
+  }
+
+  test("minhash_sig kernel ≡ declarative transform/array_min formulation") {
+    val df = texts.toDF("text")
+      .withColumn("shs", TextFunctions.shingle_hashes(lower($"text")))
+      .filter(size($"shs") > 0)
+      .withColumn("fast", TextFunctions.minhash_sig($"shs"))
+      .withColumn("decl", minhashSigDecl($"shs"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"text=${r.getString(0)}")
+    }
+  }
+
+  test("kernels agree between codegen and interpreted eval") {
+    def run(): Seq[Seq[Long]] = {
+      texts.toDF("text")
+        .select(TextFunctions.minhash_sig(
+          TextFunctions.shingle_hashes(lower($"text"))).as("sig"))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val fused = run()
+    assert(interp == fused)
+  }
+}
