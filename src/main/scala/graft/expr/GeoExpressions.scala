@@ -60,6 +60,39 @@ case class CellRingExpr(cell: Expression, k: Expression)
       l: Expression, r: Expression): CellRingExpr = copy(l, r)
 }
 
+/** cell_disk(cell, k) → ARRAY<BIGINT> of all distinct cells within
+  * Chebyshev distance ≤ k (wrap-aware, pole-clamped). */
+case class CellDiskExpr(cell: Expression, k: Expression)
+    extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RT.cellDisk(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.RT.cellDisk($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellDiskExpr = copy(l, r)
+}
+
+/** ancestor_probe(cell, maxLevelExclusive) → ARRAY<BIGINT>: radius-1
+  * disks around the cell's ancestors at every level < maxLevel (the
+  * multi-level kNN fallback probe key set). */
+case class AncestorProbeExpr(cell: Expression, maxLevel: Expression)
+    extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = maxLevel
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RT.ancestorProbeCells(a.asInstanceOf[Long], b.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.RT.ancestorProbeCells($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AncestorProbeExpr = copy(l, r)
+}
+
 /** tile_zxy(lat7, lon7, zoom) → BIGINT packed Web-Mercator z/x/y tile. */
 case class TileZXYExpr(lat: Expression, lon: Expression, zoom: Expression)
     extends TernaryExpression {
@@ -124,6 +157,10 @@ object GeoFunctions {
     column(CellAncestorExpr(expression(cell), expression(level)))
   def cell_ring(cell: Column, k: Column): Column =
     column(CellRingExpr(expression(cell), expression(k)))
+  def cell_disk(cell: Column, k: Column): Column =
+    column(CellDiskExpr(expression(cell), expression(k)))
+  def ancestor_probe(cell: Column, maxLevel: Column): Column =
+    column(AncestorProbeExpr(expression(cell), expression(maxLevel)))
   def tile_zxy(lat7: Column, lon7: Column, zoom: Column): Column =
     column(TileZXYExpr(expression(lat7), expression(lon7), expression(zoom)))
   def point_in_rings(lon7: Column, lat7: Column, rings: Column): Column =

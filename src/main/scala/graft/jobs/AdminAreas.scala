@@ -4,21 +4,23 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.geo.{Cover, Geom}
+import graft.geo.{Cover, Geom, Stitch}
 import graft.model.{OsmEntity, OsmKind}
 
 /** Admin-boundary assembly (SURVEY.md J1-J4): select admin relations,
-  * stitch member ways into closed rings with an ITERATIVE DATAFRAME
-  * SELF-JOIN (north star: "rather than a port of the Rust relation
-  * assembler"), normalize winding, and build compacted cell covers.
+  * stitch member ways into closed rings, normalize winding, and build
+  * compacted cell covers.
   *
-  * Chain merging is mutual-min matching on shared endpoint node ids:
-  * each round every open chain proposes its smallest-id neighbour; pairs
-  * that propose each other merge. A ring of w ways closes in O(log w)
-  * rounds typically; each round is one narrow self-join + one shuffle on
-  * the (tiny relative to input) chain table, with localCheckpoint to
-  * truncate lineage. Member ORDER is never consulted — the reference
-  * treats member order as insignificant (export-test/main.rs:113-127).
+  * Stitching is HYBRID: each (relation, role) group small enough for
+  * one task (in practice ~all of them — see [[DefaultLocalMaxSegs]])
+  * is stitched locally by [[graft.geo.Stitch]] inside one
+  * `flatMapGroups` — one shuffle, no driver rounds. Oversized groups
+  * take an ITERATIVE DATAFRAME SELF-JOIN (north star: "rather than a
+  * port of the Rust relation assembler"): deterministic random-mate
+  * matching on shared endpoint node ids converges in O(log w) rounds
+  * without any task holding a whole relation. Member ORDER is never
+  * consulted — the reference treats member order as insignificant
+  * (export-test/main.rs:113-127).
   */
 object AdminAreas {
 
@@ -97,7 +99,95 @@ object AdminAreas {
       }
   }
 
-  /** The iterative self-join loop. Returns (closed, failed) chains.
+  /** Max open segments per (relation, role) routed through the LOCAL
+    * stitcher; bigger groups take the iterative distributed join. At
+    * planet scale the largest admin relations have ~10^4 member ways,
+    * so in practice ~all groups stitch locally in one task and the
+    * iterative path is the safety net for pathological inputs. */
+  val DefaultLocalMaxSegs: Int = 16384
+  private val LocalMaxCoordLongs = 8000000L // ~64 MB payload per group
+
+  /** Hybrid stitcher (J2). Returns (closed, failed) chains.
+    *
+    * Small (relation, role) groups — by segment count AND coordinate
+    * payload — are stitched locally inside one `flatMapGroups` task by
+    * [[graft.geo.Stitch]]: one shuffle total, no driver-side rounds.
+    * Oversized groups take the iterative random-mate DataFrame
+    * self-join ([[assembleIterative]]), whose O(log w) rounds don't
+    * need any single task to hold a whole relation. The split is a
+    * deterministic function of group size, so output is
+    * partitioning-invariant. */
+  def assemble(spark: SparkSession, initial: Dataset[Chain],
+      maxRounds: Int = 64,
+      localMaxSegs: Int = DefaultLocalMaxSegs): (Dataset[Chain], Dataset[Chain]) = {
+    import spark.implicits._
+    val all = truncateChains(spark, initial)
+    val closedInit = all.filter(_.closed)
+    val open = all.filter(c => !c.closed)
+    // oversized group keys: tiny after partial aggregation (one row per
+    // (relation, role)), collected so the split is a plain filter
+    val bigKeys: Set[(Long, String)] = open.toDF()
+      .groupBy(col("relationId"), col("role"))
+      .agg(count(lit(1)).as("n"), sum(size(col("coords"))).as("w"))
+      .filter(col("n") > localMaxSegs || col("w") > LocalMaxCoordLongs)
+      .select(col("relationId"), col("role")).as[(Long, String)]
+      .collect().toSet
+    val bigBc = spark.sparkContext.broadcast(bigKeys)
+    val small = open.filter(c => !bigBc.value.contains((c.relationId, c.role)))
+    val localOut = small
+      .groupByKey(c => (c.relationId, c.role))
+      .flatMapGroups { (key: (Long, String), it: Iterator[Chain]) =>
+        val (rel, role) = key
+        val chains = it.toArray
+        // <2 vertices can never merge: mark failed (the iterative path
+        // leaves them open; Stitch would drop them silently)
+        val (segs, degenerate) = chains.partition(_.coords.length >= 4)
+        val ws = segs.map { c =>
+          val nv = c.coords.length / 2
+          val ids = new Array[Long](nv)
+          // Stitch matches on endpoint ids only; interior ids get
+          // non-colliding sentinels
+          ids(0) = c.aNode; ids(nv - 1) = c.bNode
+          var i = 1
+          while (i < nv - 1) { ids(i) = Long.MinValue + i; i += 1 }
+          val xs = new Array[Long](nv)
+          val ys = new Array[Long](nv)
+          var k = 0
+          while (k < nv) { xs(k) = c.coords(2 * k); ys(k) = c.coords(2 * k + 1); k += 1 }
+          Stitch.WaySeg(c.chainId, ids, xs, ys)
+        }
+        val res = Stitch.stitch(ws.toIndexedSeq)
+        val rings = res.rings.iterator.zipWithIndex.map { case (flat, idx) =>
+          Chain(rel, role, idx.toLong, 0L, 0L, flat.toSeq, nWays = 0, closed = true)
+        }
+        val failed = (res.failedWayIds.iterator ++ degenerate.iterator.map(_.chainId))
+          .map(id => Chain(rel, role, id, 0L, 0L, Nil, nWays = 1, closed = false))
+        rings ++ failed
+      }
+    if (bigKeys.isEmpty) {
+      (closedInit.union(localOut.filter(_.closed)),
+        localOut.filter(c => !c.closed))
+    } else {
+      val big = open.filter(c => bigBc.value.contains((c.relationId, c.role)))
+      val (bigClosed, bigFailed) = assembleIterative(spark, big, maxRounds)
+      (closedInit.union(localOut.filter(_.closed)).union(bigClosed),
+        localOut.filter(c => !c.closed).union(bigFailed))
+    }
+  }
+
+  // Dataset.localCheckpoint keeps the ORIGIN plan's statistics, so
+  // sizeInBytes estimates compound ~cubed per round and by round ~12
+  // Catalyst spends minutes multiplying 10^5-digit BigInts. Rebuilding
+  // from a checkpointed RDD resets stats to defaults each round.
+  private def truncateChains(spark: SparkSession, ds: Dataset[Chain]): Dataset[Chain] = {
+    import spark.implicits._
+    val r = ds.rdd
+    r.localCheckpoint()
+    r.count()
+    spark.createDataset(r)
+  }
+
+  /** The iterative self-join loop (scale path for oversized relations).
     *
     * Pairing is RANDOM-MATE (deterministic: coin = parity of
     * xxhash64(chainId, round)): head chains propose to their smallest
@@ -106,19 +196,10 @@ object AdminAreas {
     * mutual-min degrades to one merge/round on rings whose member way
     * ids ascend around the loop (common: boundaries drawn sequentially
     * by one mapper), which made a 32-way ring take 31 rounds. */
-  def assemble(spark: SparkSession, initial: Dataset[Chain],
+  def assembleIterative(spark: SparkSession, initial: Dataset[Chain],
       maxRounds: Int = 64): (Dataset[Chain], Dataset[Chain]) = {
     import spark.implicits._
-    // Dataset.localCheckpoint keeps the ORIGIN plan's statistics, so
-    // sizeInBytes estimates compound ~cubed per round and by round ~12
-    // Catalyst spends minutes multiplying 10^5-digit BigInts. Rebuilding
-    // from a checkpointed RDD resets stats to defaults each round.
-    def truncate(ds: Dataset[Chain]): Dataset[Chain] = {
-      val r = ds.rdd
-      r.localCheckpoint()
-      r.count()
-      spark.createDataset(r)
-    }
+    def truncate(ds: Dataset[Chain]): Dataset[Chain] = truncateChains(spark, ds)
     var chains = truncate(initial)
     var round = 0
     var openCount = chains.filter(!_.closed).count()
@@ -202,10 +283,12 @@ object AdminAreas {
     c.grouped(2).toSeq.reverse.flatten
 
   /** Full pipeline: typed entities → AdminArea with canonical rings. */
-  def build(spark: SparkSession, osm: Dataset[OsmEntity]): Dataset[AdminArea] = {
+  def build(spark: SparkSession, osm: Dataset[OsmEntity],
+      localMaxSegs: Int = DefaultLocalMaxSegs): Dataset[AdminArea] = {
     import spark.implicits._
     val admin = adminRelations(osm).cache()
-    val (closed, failed) = assemble(spark, initialChains(spark, osm, admin))
+    val (closed, failed) =
+      assemble(spark, initialChains(spark, osm, admin), localMaxSegs = localMaxSegs)
     val ringsPerRel = closed
       .groupByKey(c => c.relationId)
       .mapGroups { (rel, it) =>

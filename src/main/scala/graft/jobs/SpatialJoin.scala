@@ -81,25 +81,41 @@ object SpatialJoin {
     // branches recompute the candidate chain — a narrow all-codegen
     // pipeline from the source scan (no shuffle); streaming passes beat
     // materializing 10^7+ rows into the block manager (measured:
-    // checkpoint contention inverted 8c vs 32c)
-    val fullHits = cand.filter(col("full"))
-      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    val localHits = cand.filter(!col("full") && !col("fallback"))
-      .filter(G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
+    // checkpoint contention inverted 8c vs 32c). The full-cell and
+    // localized-refine cases share ONE pass (`full OR point_in_cell`
+    // short-circuits, so full cells never evaluate the refine); only
+    // the rare `fallback` cells re-read the source and touch polygons.
+    val mainHits = cand.filter(!col("fallback"))
+      .filter(col("full") || G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
         col("corner_inside"), col("edges")))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
     val fallbackHits = cand.filter(col("fallback"))
       .join(polygons, "relation_id")
       .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    fullHits.union(localHits).union(fallbackHits)
+    mainHits.union(fallbackHits)
   }
 
-  /** J6: nearest admin centre by cell-ring expansion. Distance is exact
+  /** J6: nearest admin centre by cell probing. Distance is exact
     * integer squared planar L2 in 1e-7° space with antimeridian wrap —
-    * deterministic at any parallelism. Pages still unmatched after
-    * `knnMaxRing` rings fall back to a broadcast argmin (the centroid
-    * table is small — one row per admin area). */
+    * deterministic at any parallelism.
+    *
+    * ONE lazy DAG, zero driver-side actions or loops (round 1 ran 4
+    * driver actions per ring plus a crossJoin fallback):
+    *  - Probe: every page explodes its Chebyshev-≤-maxRing cell DISK
+    *    at knnLevel (one codegen kernel, no interpreted lambdas) and
+    *    left-joins the broadcast centre index → map-side-combined
+    *    min distance; NULL marks pages with no centre in range.
+    *  - Fallback probe (oceans, sparse regions): radius-1 disks around
+    *    the page cell's ancestors at EVERY coarser level in one
+    *    explode — level 0 sees every centre, so a hit is guaranteed
+    *    when the centre table is nonempty. min over all candidates.
+    *  - Exact gather, both branches: pick the gather level whose cell
+    *    height just exceeds the found radius (so kneed ≤ 2 always),
+    *    explode that disk, join the multi-level centre index, argmin.
+    *    Every centre within √d2found sits inside the disk at ANY
+    *    level by the ceil(r/h)+1 ring bound, so the level choice only
+    *    affects cost, never the result. */
   def knnCentres(spark: SparkSession, points: DataFrame,
       centres: DataFrame, p: Params): DataFrame = {
     val centIdx = centres.select(col("relation_id").as("c_rel"),
@@ -112,62 +128,40 @@ object SpatialJoin {
       val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
       dlat * dlat + dlon * dlon
     }
-    // truncate lineage AND stats (Dataset.localCheckpoint keeps origin
-    // statistics, which compound across loop rounds — see AdminAreas)
-    def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame({ val r = df.rdd; r.localCheckpoint(); r.count(); r },
-        df.schema)
-    // Phase 1 — expanding ring probe: find SOME candidate distance per
-    // page (not necessarily the nearest yet).
-    var remaining = truncate(points
-      .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel))))
-    var probed: DataFrame = null // url, lat7, lon7, kcell, d2found
-    var k = 0
-    while (k <= p.knnMaxRing && !remaining.isEmpty) {
-      val hit = remaining
-        .withColumn("rc", explode(G.cell_ring(col("kcell"), lit(k))))
-        .join(centIdx, col("rc") === col("ccell"))
-        .groupBy("url").agg(min(d2).as("d2found"))
-      val found = remaining.join(hit, "url")
-        .select(col("url"), col("lat7"), col("lon7"), col("kcell"), col("d2found"))
-      probed = if (probed == null) found else probed.union(found)
-      remaining = truncate(remaining.join(hit, Seq("url"), "left_anti"))
-      k += 1
-    }
-    // Phase 2 — exact gather: the true nearest lies within ceil(r/hCell)+1
-    // rings of the probe hit (hCell = the cell's smaller dimension), so
-    // gathering those rings and taking the argmin is EXACT. Pages whose
-    // radius exceeds the ring cap — and pages never probed — fall back to
-    // a broadcast argmin over the (small) centroid table.
-    val hCell = (graft.geo.Cells.LatSpan >> p.knnLevel).toDouble
-    val ringCap = p.knnMaxRing * 4
-    def argminOver(cand: DataFrame): DataFrame =
-      cand.withColumn("d2v", d2)
-        .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
-        .select(col("url"), col("b.c_rel").as("nn_relation_id"))
-    var result: DataFrame = null
-    var needsFallback =
-      remaining.select(col("url"), col("lat7"), col("lon7"))
-    if (probed != null) {
-      val withNeed = probed.withColumn("kneed",
-        (ceil(sqrt(col("d2found")) / hCell) + 1).cast("int")).cache()
-      val exact = argminOver(withNeed
-        .filter(col("kneed") <= ringCap)
-        .withColumn("rc", explode(flatten(transform(
-          sequence(lit(0), col("kneed")),
-          j => G.cell_ring(col("kcell"), j)))))
-        .join(centIdx, col("rc") === col("ccell")))
-      result = exact
-      needsFallback = needsFallback.union(withNeed.filter(col("kneed") > ringCap)
-        .select(col("url"), col("lat7"), col("lon7")))
-    }
-    if (!needsFallback.isEmpty) {
-      val fb = argminOver(needsFallback.crossJoin(broadcast(centIdx)))
-      result = if (result == null) fb else result.union(fb)
-    }
-    if (result == null) points.select(col("url")).limit(0)
-      .withColumn("nn_relation_id", lit(null).cast("long"))
-    else result
+    // Probe — single pass over the maxRing disk at knnLevel
+    val pts = points
+      .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
+    val probe = pts
+      .withColumn("rc", explode(G.cell_disk(col("kcell"), lit(p.knnMaxRing))))
+      .join(broadcast(centIdx), col("rc") === col("ccell"), "left_outer")
+      .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
+
+    // Fallback probe — all coarser levels at once; cell ids embed their
+    // level so a single multi-level index join covers them all
+    val centMulti = centIdx.withColumn("acell", explode(transform(
+      sequence(lit(0), lit(p.knnLevel)),
+      l => G.cell_ancestor(col("ccell"), l))))
+    val fbHit = probe.filter(col("d2found").isNull).drop("d2found")
+      .withColumn("rc", explode(G.ancestor_probe(col("kcell"), lit(p.knnLevel))))
+      .join(broadcast(centMulti), col("rc") === col("acell"))
+      .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
+
+    // Exact gather at the radius-matched level: h(glvl) ≥ √d2found ⇒
+    // kneed = ceil(√d2found/h)+1 ≤ 2 ⇒ disk ≤ 25 cells per page
+    val latSpan = graft.geo.Cells.LatSpan.toDouble
+    val bounded = probe.filter(col("d2found").isNotNull).union(fbHit)
+      .withColumn("glvl", least(greatest(
+        floor(log2(lit(latSpan) / (sqrt(col("d2found")) + 1.0))), lit(0)),
+        lit(p.knnLevel)).cast("int"))
+      .withColumn("kneed", (ceil(sqrt(col("d2found")) *
+        pow(lit(2.0), col("glvl")) / latSpan) + 1).cast("int"))
+    bounded
+      .withColumn("rc", explode(G.cell_disk(
+        G.cell_ancestor(col("kcell"), col("glvl")), col("kneed"))))
+      .join(broadcast(centMulti), col("rc") === col("acell"))
+      .withColumn("d2v", d2)
+      .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
+      .select(col("url"), col("b.c_rel").as("nn_relation_id"))
   }
 
   /** J7: z/x/y raster-tile aggregation of the join output. */

@@ -72,6 +72,22 @@ class PlanQualitySpec extends AnyFunSuite {
     df.collect() // and the fused stage must actually compile + run
   }
 
+  test("kNN plan has no cartesian/nested-loop join and broadcasts the centre index") {
+    val pts = spark.range(1000)
+      .select(col("id").cast("string").as("url"),
+        (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
+    val centres = spark.range(20)
+      .select(col("id").as("relation_id"),
+        (col("id") * 7777L).as("c_lat7"), (col("id") * 9999L).as("c_lon7"))
+    val knn = SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
+    val plan = knn.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN must never degrade to an all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "centre index must broadcast — it is small by construction")
+  }
+
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
     import spark.implicits._
     val joined = Seq(("u", -190000000L, -1699000000L, 1L))
