@@ -130,12 +130,16 @@ object Bench {
         c -> (if (a._1 >= b._1) a else b)
       } else c -> a
     }
-    val lo = ladder.find(_._1 == 1).map(_._2).getOrElse(ladder.head._2)
-    val hi = ladder.find(_._1 == 4).map(_._2).getOrElse(ladder.last._2)
-    val loCores = 1
-    val hiCores = 4
-    val efficiency = hi._1 / (4.0 * lo._1)
-    val identical = ladder.map(_._2._2).distinct.size == 1 && lo._1 > 0
+    // the 1→4-core criterion only exists when BOTH rungs were measured;
+    // report null instead of a bogus ratio on small machines
+    val loOpt = ladder.find(_._1 == 1).map(_._2)
+    val hiOpt = ladder.find(_._1 == 4).map(_._2)
+    val hi = hiOpt.getOrElse(ladder.last._2)
+    val efficiencyOpt: Option[Double] =
+      for { l <- loOpt; h <- hiOpt if l._1 > 0 } yield h._1 / (4.0 * l._1)
+    val effJson = efficiencyOpt.map(e => f"$e%.3f").getOrElse("null")
+    val loPps = loOpt.map(l => f"${l._1}%.1f").getOrElse("null")
+    val identical = ladder.map(_._2._2).distinct.size == 1 && ladder.head._2._1 > 0
 
     // ---- per-query seconds at the full core count ----
     val spark = session(cpus)
@@ -149,7 +153,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,"pages_per_sec_lo":${f"${lo._1}%.1f"},"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":${f"$efficiency%.3f"},"identical_output":$identical,"n_pages":$nPages,"ladder":${
+      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":4,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
         ladder.map { case (c, (pps, _)) => s"""{"cores":$c,"pages_per_sec":${f"$pps%.1f"}}""" }
           .mkString("[", ",", "]")}}}""")
 
@@ -175,17 +179,17 @@ object Bench {
          |
          || metric | value | config |
          ||---|---|---|
-         |${ladder.map { case (c, (pps, _)) =>
+         ${ladder.map { case (c, (pps, _)) =>
             s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned |" }
            .mkString("\n")}
-         || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${f"$efficiency%.3f"} | pinned child JVMs |
+         || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs |
          || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |
          |
          |Per-query seconds at local[$cpus] on $sfDir:
          |
          || query | sec |
          ||---|---|
-         |${results.map { case (k, v) => s"| $k | ${f"$v%.3f"} |" }.mkString("\n")}
+         ${results.map { case (k, v) => s"|| $k | ${f"$v%.3f"} |" }.mkString("\n")}
          |""".stripMargin
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)

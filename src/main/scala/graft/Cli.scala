@@ -32,12 +32,25 @@ object Cli {
     s
   }
 
+  /** Split trailing `--key=value` / `--flag` options from positionals. */
+  private def splitOpts(args: List[String]): (List[String], Map[String, String]) = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    (pos, flags.map { f =>
+      f.drop(2).split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> "true"
+      }
+    }.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     val (_, metrics) = graft.util.Progress.tracked(spark) {
-      args.toList match {
+      val (positional, opts) = splitOpts(args.toList)
+      positional match {
         case "import" :: in :: out :: Nil =>
-          val db = Normalize.demux(PbfRead.read(spark, in))
+          val entities = PbfRead.read(spark, in)
+          val db = Normalize.demux(entities)
           for ((name, df) <- Seq(
             "nodes" -> db.nodes, "node_tags" -> db.nodeTags,
             "ways" -> db.ways, "way_tags" -> db.wayTags,
@@ -46,13 +59,41 @@ object Cli {
             "relation_members" -> db.relationMembers,
             "users" -> db.users, "changesets" -> db.changesets))
             df.write.mode("overwrite").parquet(s"$out/$name")
+          // dump metadata — the analog of the reference's dump
+          // (transaction id, timestamp) used to default replication
+          // params on export (G5, /root/reference/src/lib.rs:222-253)
+          val maxChangeset = db.changesets.agg(
+            org.apache.spark.sql.functions.max("changeset_id")).head().getLong(0)
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "_dump_meta.json"),
+            s"""{"importedAtMs":${System.currentTimeMillis()},"maxChangeset":$maxChangeset}""")
           println(s"[graft] imported $in -> $out (10 tables)")
         case "export" :: in :: out :: Nil =>
           def t(n: String) = spark.read.parquet(s"$in/$n")
           val db = Normalize.ApiDb(t("nodes"), t("node_tags"), t("ways"),
             t("way_tags"), t("way_nodes"), t("relations"), t("relation_tags"),
             t("relation_members"), t("users"), t("changesets"))
-          PbfWrite.write(spark, Normalize.reassemble(spark, db), out)
+          // G5: default replication params from the import-time dump meta
+          val meta = {
+            val p = java.nio.file.Paths.get(in, "_dump_meta.json")
+            if (java.nio.file.Files.exists(p)) {
+              val s = java.nio.file.Files.readString(p)
+              def l(k: String) = s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+              (l("importedAtMs"), l("maxChangeset"))
+            } else (None, None)
+          }
+          val (repTs, repSeq) = PbfWrite.selectReplicationParams(
+            opts.get("osmosis-replication-timestamp").map(_.toLong),
+            opts.get("osmosis-replication-sequence-number").map(_.toLong),
+            meta._1.getOrElse(System.currentTimeMillis()),
+            meta._2.getOrElse(0L))
+          val info = PbfWrite.PbfInfo(
+            bbox7 = opts.get("bounding-box").map(PbfWrite.parseBoundingBox),
+            calcBBox = opts.contains("calc-bounding-box"),
+            source = Some(opts.getOrElse("source", "from-apidb-dump")),
+            replicationTimestamp = Some(repTs),
+            replicationSequence = Some(repSeq),
+            replicationBaseUrl = opts.get("osmosis-replication-base-url"))
+          PbfWrite.write(spark, Normalize.reassemble(spark, db), out, info = info)
           println(s"[graft] exported $in -> $out")
         case "admin" :: in :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in)).cache()

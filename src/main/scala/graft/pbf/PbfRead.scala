@@ -22,10 +22,19 @@ object PbfRead {
 
   final case class BlobPtr(path: String, offset: Long, dataLen: Int, blobType: String)
 
+  /** Parsed OSMHeader (public osmformat.proto HeaderBlock). `bbox7` is
+    * (left, right, top, bottom) in 1e-7° (the wire carries
+    * nanodegrees); replication fields mirror the reference's export
+    * metadata (/root/reference/src/lib.rs:177-186). */
   final case class PbfHeader(
       requiredFeatures: Seq[String],
       optionalFeatures: Seq[String],
-      writingProgram: String)
+      writingProgram: String,
+      bbox7: Option[(Long, Long, Long, Long)] = None,
+      source: Option[String] = None,
+      replicationTimestamp: Option[Long] = None,
+      replicationSequence: Option[Long] = None,
+      replicationBaseUrl: Option[String] = None)
 
   private def hadoopOpen(spark: SparkSession, path: String) = {
     val p = new Path(path)
@@ -80,11 +89,21 @@ object PbfRead {
     }
     if (raw != null) raw
     else {
+      // grow the buffer until finished() (raw_size is optional and a
+      // fixed ×20 guess truncated highly-compressible delta blocks);
+      // fail loudly on truncated input instead of spinning
       val inf = new Inflater()
       inf.setInput(zlib)
-      val out = new Array[Byte](if (rawSize >= 0) rawSize else zlib.length * 20)
+      var out = new Array[Byte](
+        if (rawSize >= 0) math.max(rawSize, 1) else math.max(zlib.length * 8, 1 << 16))
       var n = 0
-      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+      while (!inf.finished()) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val w = inf.inflate(out, n, out.length - n)
+        if (w == 0 && !inf.finished() && (inf.needsInput() || inf.needsDictionary()))
+          throw new java.io.IOException("truncated or invalid zlib blob")
+        n += w
+      }
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     }
@@ -120,15 +139,39 @@ object PbfRead {
     var required = List.empty[String]
     var optional = List.empty[String]
     var wp = ""
+    var bbox: Option[(Long, Long, Long, Long)] = None
+    var source: Option[String] = None
+    var repTs: Option[Long] = None
+    var repSeq: Option[Long] = None
+    var repUrl: Option[String] = None
     while (hb.hasMore) {
       hb.readKey() match {
+        case (1, 2) => // HeaderBBox: sint64 nanodegrees → 1e-7°
+          val bp = new Proto(hb.readBytes())
+          var left = 0L; var right = 0L; var top = 0L; var bottom = 0L
+          while (bp.hasMore) {
+            bp.readKey() match {
+              case (1, 0) => left = bp.readSint()
+              case (2, 0) => right = bp.readSint()
+              case (3, 0) => top = bp.readSint()
+              case (4, 0) => bottom = bp.readSint()
+              case (_, w) => bp.skip(w)
+            }
+          }
+          bbox = Some((Math.floorDiv(left, 100), Math.floorDiv(right, 100),
+            Math.floorDiv(top, 100), Math.floorDiv(bottom, 100)))
         case (4, 2) => required ::= hb.readString()
         case (5, 2) => optional ::= hb.readString()
         case (16, 2) => wp = hb.readString()
+        case (17, 2) => source = Some(hb.readString())
+        case (32, 0) => repTs = Some(hb.readVarint())
+        case (33, 0) => repSeq = Some(hb.readVarint())
+        case (34, 2) => repUrl = Some(hb.readString())
         case (_, w) => hb.skip(w)
       }
     }
-    PbfHeader(required.reverse, optional.reverse, wp)
+    PbfHeader(required.reverse, optional.reverse, wp, bbox, source,
+      repTs, repSeq, repUrl)
   }
 
   /** Decode one OSMData blob into entities. */
@@ -170,7 +213,8 @@ object PbfRead {
           case (2, 2) => out ++= decodeDense(g.readMessage(), strArr, toLat7, toLon7, dateGranularity)
           case (3, 2) => out += decodeWay(g.readMessage(), strArr, dateGranularity)
           case (4, 2) => out += decodeRelation(g.readMessage(), strArr, dateGranularity)
-          case (1, 2) => g.skip(2) // non-dense Nodes unused by modern writers
+          case (1, 2) => // plain (non-dense) Node — older/other writers
+            out += decodeNode(g.readMessage(), strArr, toLat7, toLon7, dateGranularity)
           case (_, w) => g.skip(w)
         }
       }
@@ -268,6 +312,34 @@ object PbfRead {
       i += 1
     }
     out.toSeq
+  }
+
+  /** Plain Node message (osmformat.proto Node): id is SINT64 (unlike
+    * ways/relations), lat/lon sint64 in block granularity. */
+  private def decodeNode(np: Proto, strings: Array[String],
+      toLat7: Long => Long, toLon7: Long => Long,
+      dateGranularity: Long): OsmEntity = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var lat = 0L
+    var lon = 0L
+    var info = (-1, 0L, -1L, -1, 0, true)
+    while (np.hasMore) {
+      np.readKey() match {
+        case (1, 0) => id = np.readSint()
+        case (2, 2) => keys = np.readPackedVarints()
+        case (3, 2) => vals = np.readPackedVarints()
+        case (4, 2) => info = decodeInfo(np.readMessage(), dateGranularity)
+        case (8, 0) => lat = np.readSint()
+        case (9, 0) => lon = np.readSint()
+        case (_, wt) => np.skip(wt)
+      }
+    }
+    val tags = keys.indices.map(i => OsmTag(strings(keys(i).toInt), strings(vals(i).toInt)))
+    OsmEntity(OsmKind.Node, id, info._1, info._6,
+      Some(toLat7(lat)), Some(toLon7(lon)), info._2, info._3,
+      info._4, if (info._5 != 0) strings(info._5) else "", tags, Nil, Nil)
   }
 
   private def decodeWay(w: Proto, strings: Array[String],

@@ -10,13 +10,39 @@ import graft.model.{OsmEntity, OsmKind}
 
 /** `.osm.pbf` sink (SURVEY.md A7/E2): global Type_then_ID order via
   * range sort, per-partition block encode (string table, dense-node
-  * delta coding, zlib) into part files, driver concatenation after the
-  * header frame — valid because a PBF file is a plain frame sequence
-  * with one leading OSMHeader (format: public osmformat/fileformat
-  * protos; reference call site /root/reference/src/lib.rs:200-215). */
+  * delta coding, zlib) STREAMED to one part file per task, driver
+  * concatenation after the header frame — valid because a PBF file is a
+  * plain frame sequence with one leading OSMHeader (format: public
+  * osmformat/fileformat protos; reference call site
+  * /root/reference/src/lib.rs:177-215).
+  *
+  * Header fidelity matches the reference's FileInfo
+  * (/root/reference/src/lib.rs:177-186): bbox (field 1, nanodegrees),
+  * required/optional features, writingprogram (16), source (17), and
+  * the osmosis replication fields (32-34). The bbox and the
+  * HistoricalInformation feature can be derived from the data DURING
+  * the encode pass (per-partition fold, no extra scan). */
 object PbfWrite {
 
   private val BlockSize = 8000
+
+  /** Export header metadata (reference FileInfo analog). `bbox7` is
+    * (left, right, top, bottom) in 1e-7°; `historical`/`bbox7` = None →
+    * derive from the data during the encode pass. */
+  final case class PbfInfo(
+      bbox7: Option[(Long, Long, Long, Long)] = None,
+      calcBBox: Boolean = false,
+      historical: Option[Boolean] = None,
+      source: Option[String] = None,
+      writingProgram: String = "graft-spark",
+      replicationTimestamp: Option[Long] = None, // epoch seconds
+      replicationSequence: Option[Long] = None,
+      replicationBaseUrl: Option[String] = None)
+
+  /** Per-partition encode stats folded during the streaming write —
+    * gives the driver `historical` and the bbox for free:
+    * (partition, rows, invisible, minLat, maxLat, minLon, maxLon). */
+  private type PartStats = (Int, Long, Long, Long, Long, Long, Long)
 
   // ---- protobuf wire writer ----
   final class Out {
@@ -39,20 +65,55 @@ object PbfWrite {
     def packedSints(field: Int, vs: Iterable[Long]): Unit =
       if (vs.nonEmpty) { val o = new Out; vs.foreach(o.zig); bytes(field, o.toArray) }
     def int(field: Int, v: Long): Unit = { key(field, 0); varint(v) }
+    def sint(field: Int, v: Long): Unit = { key(field, 0); zig(v) }
     def toArray: Array[Byte] = buf.toByteArray
   }
 
   private def deltas(vs: Seq[Long]): Seq[Long] =
     vs.headOption.toSeq ++ vs.sliding(2).collect { case Seq(a, b) => b - a }
 
-  /** One frame: 4-byte BE length + BlobHeader + zlib Blob. */
+  /** G5 — replication-param defaulting, mirroring the reference's
+    * select_replication_params (/root/reference/src/lib.rs:222-253):
+    * user-supplied values win; otherwise the timestamp defaults to the
+    * snapshot/dump commit time (epoch seconds) and the sequence number
+    * to the dump transaction-id analog. */
+  def selectReplicationParams(
+      userTimestamp: Option[Long], userSequence: Option[Long],
+      dumpTimestampMillis: Long, dumpTransactionId: Long): (Long, Long) =
+    (userTimestamp.getOrElse(dumpTimestampMillis / 1000),
+      userSequence.getOrElse(dumpTransactionId))
+
+  /** G6 — parse a CLI bounding box 'left,bottom,right,top' (degrees,
+    * reference /root/reference/src/bin/osm/main.rs:41) into 1e-7°
+    * (left, right, top, bottom) as [[PbfInfo.bbox7]] expects. */
+  def parseBoundingBox(s: String): (Long, Long, Long, Long) = {
+    val parts = s.split(",").map(_.trim)
+    require(parts.length == 4,
+      s"bounding box must be 'left,bottom,right,top' (got: $s)")
+    def f7(v: String): Long =
+      (BigDecimal(v) * 10000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val (left, bottom, right, top) = (f7(parts(0)), f7(parts(1)), f7(parts(2)), f7(parts(3)))
+    require(left >= -1800000000L && right <= 1800000000L && left <= right,
+      s"longitude range invalid: $s")
+    require(bottom >= -900000000L && top <= 900000000L && bottom <= top,
+      s"latitude range invalid: $s")
+    (left, right, top, bottom)
+  }
+
+  /** One frame: 4-byte BE length + BlobHeader + zlib Blob. The deflate
+    * loop grows its buffer until finished() — a fixed len+64 buffer
+    * silently truncated incompressible blocks. */
   def frame(blobType: String, payload: Array[Byte]): Array[Byte] = {
     val blob = new Out
     blob.int(2, payload.length)
     val deflater = new Deflater()
     deflater.setInput(payload); deflater.finish()
-    val comp = new Array[Byte](payload.length + 64)
-    val n = deflater.deflate(comp)
+    var comp = new Array[Byte](payload.length + 64)
+    var n = 0
+    while (!deflater.finished()) {
+      if (n == comp.length) comp = java.util.Arrays.copyOf(comp, comp.length * 2)
+      n += deflater.deflate(comp, n, comp.length - n)
+    }
     deflater.end()
     blob.bytes(3, java.util.Arrays.copyOf(comp, n))
     val blobBytes = blob.toArray
@@ -68,13 +129,34 @@ object PbfWrite {
     out.toByteArray
   }
 
-  def headerFrame(historical: Boolean): Array[Byte] = {
+  /** OSMHeader frame with resolved metadata. bbox is written in
+    * nanodegrees (HeaderBBox sint64 fields left/right/top/bottom),
+    * matching the public osmformat.proto and the reference's export. */
+  def headerFrame(historical: Boolean,
+      bbox7: Option[(Long, Long, Long, Long)] = None,
+      source: Option[String] = None,
+      writingProgram: String = "graft-spark",
+      replicationTimestamp: Option[Long] = None,
+      replicationSequence: Option[Long] = None,
+      replicationBaseUrl: Option[String] = None): Array[Byte] = {
     val h = new Out
+    bbox7.foreach { case (left, right, top, bottom) =>
+      val bb = new Out
+      bb.sint(1, left * 100)   // 1e-7° → nanodegrees
+      bb.sint(2, right * 100)
+      bb.sint(3, top * 100)
+      bb.sint(4, bottom * 100)
+      h.msg(1, bb)
+    }
     h.str(4, "OsmSchema-V0.6")
     h.str(4, "DenseNodes")
     if (historical) h.str(4, "HistoricalInformation")
     h.str(5, "Sort.Type_then_ID")
-    h.str(16, "graft-spark")
+    h.str(16, writingProgram)
+    source.foreach(s => h.str(17, s))
+    replicationTimestamp.foreach(t => h.int(32, t))
+    replicationSequence.foreach(s => h.int(33, s))
+    replicationBaseUrl.foreach(u => h.str(34, u))
     frame("OSMHeader", h.toArray)
   }
 
@@ -96,8 +178,11 @@ object PbfWrite {
         if (entities.exists(!_.visible))
           info.packedVarints(6, entities.map(e => if (e.visible) 1L else 0L))
         dense.msg(5, info)
-        dense.packedSints(8, deltas(entities.map(_.lat7.get)))
-        dense.packedSints(9, deltas(entities.map(_.lon7.get)))
+        // deleted node versions legitimately carry no coordinates —
+        // encode 0 (the convention other writers use for invisible
+        // dense nodes) instead of throwing on lat7=None
+        dense.packedSints(8, deltas(entities.map(_.lat7.getOrElse(0L))))
+        dense.packedSints(9, deltas(entities.map(_.lon7.getOrElse(0L))))
         if (entities.exists(_.tags.nonEmpty)) {
           val kv = entities.flatMap(e =>
             e.tags.flatMap(t => Seq(sid(t.k).toLong, sid(t.v).toLong)) :+ 0L)
@@ -141,56 +226,77 @@ object PbfWrite {
   }
 
   /** Write the dataset as a PBF file. Global Type_then_ID order via
-    * repartitionByRange + sortWithinPartitions (one range shuffle), then
-    * per-partition encode into part files merged in partition order. */
+    * repartitionByRange + sortWithinPartitions (one range shuffle);
+    * each task STREAMS its encoded frames to its own part file (never
+    * buffering the partition — a planet partition would blow the 2 GB
+    * array limit), returning a tiny stats row; the driver derives
+    * historical/bbox from the stats (no extra scan) and concatenates
+    * parts after the header. */
   def write(spark: SparkSession, ds: Dataset[OsmEntity], path: String,
-      partitions: Int = 0): Unit = {
+      partitions: Int = 0, info: PbfInfo = PbfInfo()): Unit = {
     import spark.implicits._
     val nPart = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
-    val historical = ds.filter(e => !e.visible).take(1).nonEmpty
     val sorted = ds
       .repartitionByRange(nPart, $"kind", $"id", $"version")
       .sortWithinPartitions($"kind", $"id", $"version")
     val tmp = path + ".parts"
-    val hconfSer = spark.sparkContext.hadoopConfiguration
-    // encode each partition to its own part file (distributed)
-    val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer)
+    val hconfSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconfSer)
+    val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer.value)
+    fs0.delete(new Path(tmp), true)
     fs0.mkdirs(new Path(tmp))
-    sorted.mapPartitions { it =>
-      val frames = new ByteArrayOutputStream()
+    val stats = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val fs = FileSystem.get(new Path(tmp).toUri, bc.value.value)
+      val out = fs.create(new Path(tmp, f"part-$pid%05d"), true)
+      var rows = 0L
+      var invisible = 0L
+      var minLat = Long.MaxValue; var maxLat = Long.MinValue
+      var minLon = Long.MaxValue; var maxLon = Long.MinValue
       val buf = scala.collection.mutable.ArrayBuffer.empty[OsmEntity]
       def flush(): Unit = if (buf.nonEmpty) {
         // split by kind: blocks are single-kind (sorted ⇒ contiguous)
         var start = 0
         for (i <- 1 to buf.length) {
           if (i == buf.length || buf(i).kind != buf(start).kind) {
-            frames.write(encodeBlock(buf.slice(start, i).toSeq))
+            out.write(encodeBlock(buf.slice(start, i).toSeq))
             start = i
           }
         }
         buf.clear()
       }
       for (e <- it) {
+        rows += 1
+        if (!e.visible) invisible += 1
+        else if (e.kind == OsmKind.Node) {
+          for (la <- e.lat7) { if (la < minLat) minLat = la; if (la > maxLat) maxLat = la }
+          for (lo <- e.lon7) { if (lo < minLon) minLon = lo; if (lo > maxLon) maxLon = lo }
+        }
         buf += e
-        if (buf.length >= BlockSize && buf.last.kind != buf.head.kind) flush()
-        else if (buf.length >= BlockSize) flush()
+        if (buf.length >= BlockSize) flush()
       }
       flush()
-      Iterator(frames.toByteArray)
-    }.rdd.zipWithIndex().map { case (bytes, idx) => (idx, bytes) }
-      .foreachPartition { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val fs = FileSystem.get(new Path(tmp).toUri, conf)
-        for ((idx, bytes) <- it) {
-          val out = fs.create(new Path(tmp, f"part-$idx%05d"), true)
-          out.write(bytes); out.close()
-        }
+      out.close()
+      Iterator((pid, rows, invisible, minLat, maxLat, minLon, maxLon): PartStats)
+    }.collect()
+
+    val historical = info.historical.getOrElse(stats.exists(_._3 > 0))
+    val bbox = info.bbox7.orElse {
+      if (!info.calcBBox) None
+      else {
+        val withNodes = stats.filter(s => s._4 != Long.MaxValue)
+        if (withNodes.isEmpty) None
+        else Some((withNodes.map(_._6).min, withNodes.map(_._7).max,
+          withNodes.map(_._5).max, withNodes.map(_._4).min))
       }
+    }
     // driver: header + ordered concat
-    val fs = FileSystem.get(new Path(path).toUri, hconfSer)
+    val fs = FileSystem.get(new Path(path).toUri, hconfSer.value)
     val out = fs.create(new Path(path), true)
-    out.write(headerFrame(historical))
+    out.write(headerFrame(historical, bbox, info.source, info.writingProgram,
+      info.replicationTimestamp, info.replicationSequence, info.replicationBaseUrl))
     val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     for (p <- parts) {

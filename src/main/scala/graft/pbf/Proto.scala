@@ -24,6 +24,9 @@ final class Proto(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   @inline def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
 
+  /** One sint64 scalar (zigzag varint). */
+  def readSint(): Long = zigzag(readVarint())
+
   /** Returns (fieldNumber, wireType). */
   def readKey(): (Int, Int) = {
     val k = readVarint()
