@@ -1,0 +1,68 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Embedding-similarity kernels. All arithmetic is integer-exact over
+  * QUANTIZED vectors (round(x*1000) as int64) so the DuckDB oracle can
+  * express the same functions bit-for-bit:
+  *  - projections fit int64 (|q|≤~10^4, |w|<5.1e5, dim 64 ⇒ |proj|≤2^41)
+  *  - and double-exactly (<2^53) on the DuckDB side.
+  */
+object EmbedRT {
+  val Tables = 4
+  val Bits = 16
+  private val WMod = 1000003L
+  private val WShift = 501001L
+  private val WMul = 2654435761L
+
+  /** Deterministic integer hyperplane weight for (hyperplane h, dim i). */
+  @inline def weight(h: Int, i: Int): Long =
+    (WMul * (h.toLong * 64 + i + 1)) % WMod - WShift
+
+  /** LSH bucket per table: bit k of table t = [proj of hyperplane
+    * h=t*16+k is > 0]. Returns Tables bucket ids in [0, 2^Bits). */
+  def lshBuckets(q: ArrayData): ArrayData = {
+    val dim = q.numElements()
+    val out = new Array[Long](Tables)
+    var t = 0
+    while (t < Tables) {
+      var bucket = 0L
+      var k = 0
+      while (k < Bits) {
+        val h = t * Bits + k
+        var proj = 0L
+        var i = 0
+        while (i < dim) {
+          proj += q.getLong(i) * weight(h, i)
+          i += 1
+        }
+        if (proj > 0) bucket |= (1L << k)
+        k += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** lsh_buckets(q ARRAY<BIGINT>) → ARRAY<BIGINT> of 4 16-bit bucket ids. */
+case class LshBucketsExpr(q: Expression) extends UnaryExpression {
+  override def child: Expression = q
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    EmbedRT.lshBuckets(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.EmbedRT.lshBuckets($c)")
+  override protected def withNewChildInternal(c: Expression): LshBucketsExpr = copy(c)
+}
+
+object EmbedFunctions {
+  import org.apache.spark.sql.graftbridge.{column, expression}
+  def lsh_buckets(q: Column): Column = column(LshBucketsExpr(expression(q)))
+}

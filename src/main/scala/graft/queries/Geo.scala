@@ -148,31 +148,44 @@ object Geo {
              |) AS t(relation_id, admin_level, name, n_rings, complete)
              |ORDER BY relation_id""".stripMargin)),
 
-    // J5-J7 end-to-end (rows-only here; oracled in SpatialJoinSpec)
+    // J5-J7 end-to-end. The gated outputs are order-invariant DIGESTS
+    // (per-group counts + xor-folded xxhash64 of every row) frozen as
+    // VALUES goldens — the same scheme that froze the 14-relation admin
+    // set. The row-level semantics behind the digests are independently
+    // proven by Scala oracles (SpatialJoinSpec: per-url PIP oracle,
+    // brute-force kNN oracle, tile recount; GeoExpressionsSpec:
+    // geoparse). A digest mismatch catches ANY row change.
     QueryDef(
       "q_page_join",
       (s, _) => {
         val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
-        out.joined.select("url", "relation_id").orderBy("url", "relation_id")
+        out.joined.groupBy("relation_id")
+          .agg(count(lit(1)).as("n_pages"),
+            expr("bit_xor(xxhash64(url, lat7, lon7))").as("h"))
+          .orderBy("relation_id")
       },
-      None),
+      Some(GeoGolden.pageJoinSql)),
     QueryDef(
       "q_page_knn",
       (s, _) => {
         val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
-        out.knn.orderBy("url")
+        out.knn.groupBy("nn_relation_id")
+          .agg(count(lit(1)).as("n_pages"),
+            expr("bit_xor(xxhash64(url))").as("h"))
+          .orderBy("nn_relation_id")
       },
-      None),
+      Some(GeoGolden.pageKnnSql)),
     QueryDef(
       "q_page_tiles",
       (s, _) => {
         val out = SpatialJoin.run(s, Pages.generate(s, 20000), areas(s))
         out.tileCounts.orderBy("z", "x", "y", "relation_id")
       },
-      None),
+      Some(GeoGolden.pageTilesSql)),
 
     // geoparse invariant surface: extractable coordinates round-trip and
-    // the text value is the untouched input (count of byte-equal == all)
+    // the text value is the untouched input; gated as a whole-result
+    // digest (geoparse row semantics are pinned in GeoExpressionsSpec)
     QueryDef(
       "q_geoparse",
       (s, _) => {
@@ -182,8 +195,10 @@ object Geo {
           .select(col("url"),
             G.packed_lat7(col("p")).as("lat7"), G.packed_lon7(col("p")).as("lon7"))
           .filter(col("lat7").isNotNull)
-          .orderBy("url")
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(url, lat7, lon7))").as("h"),
+            sum(col("lat7")).as("sum_lat7"), sum(col("lon7")).as("sum_lon7"))
       },
-      None)
+      Some(GeoGolden.geoparseSql))
   )
 }

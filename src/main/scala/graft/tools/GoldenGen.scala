@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: regenerate the GeoGolden frozen VALUES oracles. Prints the
+  * Scala object body to stdout; paste into GeoGolden.scala. */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", 16)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def values(q: String, cols: Seq[(String, String)]): String = {
+      val rows = graft.SparkEntry.queries(q)(spark, "unused").collect()
+        .map(r => "(" + (0 until r.length).map(i => r.get(i).toString).mkString(",") + ")")
+        .mkString(",\n| ")
+      val colNames = cols.map(_._1).mkString(", ")
+      val casts = cols.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(",\n|  ")
+      s"""\"\"\"SELECT $casts
+         |FROM (VALUES
+         | $rows
+         |) AS t($colNames)
+         |ORDER BY ${cols.head._1}\"\"\".stripMargin"""
+    }
+    println("=== pageJoinSql ===")
+    println(values("q_page_join", Seq("relation_id" -> "BIGINT", "n_pages" -> "BIGINT", "h" -> "BIGINT")))
+    println("=== pageKnnSql ===")
+    println(values("q_page_knn", Seq("nn_relation_id" -> "BIGINT", "n_pages" -> "BIGINT", "h" -> "BIGINT")))
+    println("=== pageTilesSql ===")
+    println(values("q_page_tiles", Seq("z" -> "INTEGER", "x" -> "BIGINT", "y" -> "BIGINT", "relation_id" -> "BIGINT", "n_pages" -> "BIGINT")))
+    println("=== geoparseSql ===")
+    println(values("q_geoparse", Seq("n" -> "BIGINT", "h" -> "BIGINT", "sum_lat7" -> "BIGINT", "sum_lon7" -> "BIGINT")))
+    spark.stop()
+  }
+}

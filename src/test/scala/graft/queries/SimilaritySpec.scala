@@ -4,52 +4,69 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 
-/** Plain-Scala oracles for the float-valued similarity operators that
-  * the DuckDB gate only rows-only-checks. */
+/** Plain-Scala oracles + recall floors for the similarity operators
+  * (both are ALSO fully DuckDB-oracled in the driver gate; these specs
+  * pin the semantics independently and assert recall properties the
+  * row-compare can't express). */
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val vecs: Map[Long, Array[Double]] = {
+  /** Quantized vectors — the operator's defined domain (round(x*1000)). */
+  private lazy val qvecs: Map[Long, Array[Long]] = {
     import org.apache.spark.sql.functions._
     graft.util.Tables.t(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.round(x.toDouble * 1000)).toArray).toMap
   }
 
-  private def cos(a: Array[Double], b: Array[Double]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+  /** The exact ranking key: sign(dot)·dot²/(|a|²·|b|²). */
+  private def key(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var qa = 0L; var qb = 0L
     var i = 0
-    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < a.length) { dot += a(i) * b(i); qa += a(i) * a(i); qb += b(i) * b(i); i += 1 }
+    val r = (dot.toDouble * dot.toDouble) / (qa.toDouble * qb.toDouble)
+    if (dot < 0) -r else r
   }
 
-  test("brute-force cosine top-3 matches the Scala oracle") {
+  /** The ANN corpus: base vectors plus integer-jittered twins. */
+  private lazy val corpus: Map[Long, Array[Long]] =
+    qvecs ++ qvecs.map { case (id, q) =>
+      (id + 1000000L) -> q.zipWithIndex.map { case (x, i) =>
+        x + Math.floorMod(id * 31 + i, 7) - 3 }
+    }
+
+  test("brute-force cosine top-3 matches the Scala quantized-key oracle") {
     val got = SparkEntry.queries("q_embed_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    for ((id, v) <- vecs) {
-      val expect = vecs.toSeq.filter(_._1 != id)
-        .map { case (oid, ov) => (-cos(v, ov), oid) }.sorted.take(3).map(_._2)
+    for ((id, v) <- qvecs) {
+      val expect = qvecs.toSeq.filter(_._1 != id)
+        .map { case (oid, ov) => (-key(v, ov), oid) }.sorted.take(3).map(_._2)
       for ((want, rk) <- expect.zipWithIndex)
         assert(got((id, rk + 1)) == want, s"vec $id rank ${rk + 1}")
     }
   }
 
-  test("ANN-LSH refine returns the true best within each candidate bucket, with decent recall") {
+  test("ANN-LSH finds the planted twin for nearly every vector") {
     val got = SparkEntry.queries("q_embed_ann_lsh")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.nonEmpty, "buckets must produce candidates")
-    val trueNN = vecs.map { case (id, v) =>
-      id -> vecs.toSeq.filter(_._1 != id).map { case (o, ov) => (-cos(v, ov), o) }.min._2
+    // twin recall: base id i's nearest neighbour in the corpus is its
+    // twin i+1e6 (θ ≈ 0.01 rad) — the LSH must find it for ≥ 95%
+    val baseIds = qvecs.keySet
+    val twinHits = baseIds.count(id => got.get(id).contains(id + 1000000L))
+    val twinRecall = twinHits.toDouble / baseIds.size
+    info(f"twin recall@1 = $twinRecall%.3f (coverage ${got.size}/${corpus.size})")
+    assert(twinRecall >= 0.95, f"twin recall $twinRecall%.3f below floor")
+    // and against the true brute-force top-1 over the whole corpus
+    val trueNN = corpus.map { case (id, v) =>
+      id -> corpus.toSeq.filter(_._1 != id).map { case (o, ov) => (-key(v, ov), o) }.min._2
     }
     val hits = got.count { case (id, ann) => trueNN(id) == ann }
-    val recall = hits.toDouble / got.size
-    info(s"ANN coverage=${got.size}/${vecs.size} recall@1=$recall")
-    // each reported neighbour must at least beat the median similarity
-    for ((id, ann) <- got.take(50))
-      assert(cos(vecs(id), vecs(ann)) >= -1.0) // sanity: computable
-    assert(recall > 0.05, "bucketing should retain some true neighbours")
+    val recall = hits.toDouble / corpus.size
+    info(f"overall recall@1 = $recall%.3f")
+    assert(recall >= 0.90, f"overall recall $recall%.3f below floor")
   }
 }
 
