@@ -13,6 +13,12 @@ import graft.synth.Pages
   *
   *   graft.Cli import <in.osm.pbf> <tablesDir>   pbf → 10 apidb parquet tables
   *   graft.Cli export <tablesDir> <out.osm.pbf>  tables → Type_then_ID pbf
+  *     [--bounding-box=l,b,r,t | --calc-bounding-box] [--source=S]
+  *     [--osmosis-replication-timestamp=N]
+  *     [--osmosis-replication-sequence-number=N]
+  *     [--osmosis-replication-base-url=U]
+  *   graft.Cli import-pgdump <copyDir> <tablesDir>  pg_dump COPY text → tables
+  *   graft.Cli export-pgdump <tablesDir> <copyDir>  tables → COPY text dump
   *   graft.Cli admin <in.osm.pbf> <outDir>       admin multipolygons + covers
   *   graft.Cli join <in.osm.pbf> <nPages> <outDir>  spatial join + knn + tiles
   */
@@ -95,6 +101,26 @@ object Cli {
             replicationBaseUrl = opts.get("osmosis-replication-base-url"))
           PbfWrite.write(spark, Normalize.reassemble(spark, db), out, info = info)
           println(s"[graft] exported $in -> $out")
+        case "import-pgdump" :: in :: out :: Nil =>
+          // apidb COPY-text dump dir (pg_dump of the reference's
+          // Postgres) → canonical parquet tables
+          val db = graft.norm.PgCopy.readApiDb(spark, in)
+          for ((name, df) <- Seq(
+            "nodes" -> db.nodes, "node_tags" -> db.nodeTags,
+            "ways" -> db.ways, "way_tags" -> db.wayTags,
+            "way_nodes" -> db.wayNodes, "relations" -> db.relations,
+            "relation_tags" -> db.relationTags,
+            "relation_members" -> db.relationMembers,
+            "users" -> db.users, "changesets" -> db.changesets))
+            df.write.mode("overwrite").parquet(s"$out/$name")
+          println(s"[graft] imported COPY dump $in -> $out (10 tables)")
+        case "export-pgdump" :: in :: out :: Nil =>
+          def t(n: String) = spark.read.parquet(s"$in/$n")
+          graft.norm.PgCopy.writeApiDb(Normalize.ApiDb(t("nodes"), t("node_tags"),
+            t("ways"), t("way_tags"), t("way_nodes"), t("relations"),
+            t("relation_tags"), t("relation_members"), t("users"),
+            t("changesets")), out)
+          println(s"[graft] exported COPY dump $in -> $out")
         case "admin" :: in :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in)).cache()
           areas.toDF().write.mode("overwrite").parquet(s"$out/admin_areas")

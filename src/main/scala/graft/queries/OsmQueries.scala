@@ -29,6 +29,26 @@ object OsmQueries {
       Some("""SELECT CAST(45000 AS BIGINT) AS n_entities,
              |       CAST(0 AS BIGINT) AS n_diffs""".stripMargin)),
 
+    // A5/A6 as surveyed: pg_dump COPY-text interop — fixture → COPY
+    // dump dir → read back → reassemble ≡ original (tags canonicalized
+    // by (k,v): the apidb schema has no tag-order column)
+    QueryDef(
+      "q_pgcopy_roundtrip",
+      (s, _) => {
+        import s.implicits._
+        val osm = PbfRead.read(s, fixture)
+        val dir = "/tmp/graft-pgcopy-gate"
+        graft.norm.PgCopy.writeApiDb(Normalize.demux(osm), dir)
+        val back = Normalize.reassemble(s, graft.norm.PgCopy.readApiDb(s, dir))
+        def canonTags(ds: org.apache.spark.sql.Dataset[graft.model.OsmEntity]) =
+          ds.map(e => e.copy(tags = e.tags.sortBy(t => (t.k, t.v))))
+        val diffs = Normalize.diffCount(canonTags(osm), canonTags(back))
+        val n = back.count()
+        Seq((n, diffs)).toDF("n_entities", "n_diffs")
+      },
+      Some("""SELECT CAST(45000 AS BIGINT) AS n_entities,
+             |       CAST(0 AS BIGINT) AS n_diffs""".stripMargin)),
+
     // A3/D1: count objects by kind (reference count_objects, lib.rs:50)
     QueryDef(
       "q_osm_counts",

@@ -1,0 +1,93 @@
+package graft.norm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.expr.PgTextRT
+import graft.pbf.PbfRead
+
+/** apidb COPY-text interop (SURVEY A5/A6 as surveyed): escaping codec,
+  * pg_dump-shaped content, and the full fixture chain through a COPY
+  * dump directory. */
+class PgCopySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
+
+  test("COPY text escaping round-trips hostile strings") {
+    val hostile = Seq(
+      (1L, 1L, "tab\there", "line\nbreak"),
+      (2L, 1L, "back\\slash", "\\N literal text"),
+      (3L, 1L, "bell\b", "feed\f ret\r vt\u000B"),
+      (4L, 1L, "unicode ü€😀", ""),
+      (5L, 1L, "ends with backslash \\", "\tstarts with tab"))
+    val df = hostile.toDF("node_id", "version", "k", "v")
+    val dir = "/tmp/graft-test-pgcopy-esc"
+    PgCopy.writeTable(df, dir, "node_tags")
+    val back = PgCopy.readTable(spark, dir, "node_tags")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == hostile)
+  }
+
+  test("pg_dump-shaped COPY content parses: \\N nulls, escapes, terminator") {
+    val content =
+      "101\t-190512345\t-1699254321\t99\tt\t2023-06-12 20:21:53.123456\t123456\t2\n" +
+      "102\t0\t0\t\\N\tf\t2023-06-12 20:21:53\t\\N\t1\n" +
+      "\\.\n"
+    val p = "/tmp/graft-test-pgcopy-raw.dat"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), content)
+    val rows = PgCopy.readTable(spark, p, "nodes").orderBy("node_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 101L && rows(0).getInt(1) == -190512345)
+    assert(rows(0).getBoolean(4) && !rows(1).getBoolean(4))
+    assert(rows(0).getLong(5) == 1686601313123L) // UTC millis incl fraction
+    assert(rows(1).getLong(5) == 1686601313000L) // fraction-less timestamp
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(6)) // \N → null
+  }
+
+  test("octal and hex escapes decode per the COPY spec") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    assert(PgTextRT.pgUnescape(u("a\\101b")).toString == "aAb")   // octal 101 = 'A'
+    assert(PgTextRT.pgUnescape(u("a\\x41b")).toString == "aAb")   // hex 41 = 'A'
+    assert(PgTextRT.pgUnescape(u("a\\7b")).toString == "a\u0007b") // 1-digit octal
+    assert(PgTextRT.pgUnescape(u("\\q")).toString == "q")          // \c → c
+    assert(PgTextRT.pgUnescape(u("\\N")) == null)                  // NULL marker
+    assert(PgTextRT.pgUnescape(u("x\\N")).toString == "xN")        // only bare \N is null
+  }
+
+  test("quadTile matches the public openstreetmap algorithm") {
+    def ref(lat: Double, lon: Double): Long = {
+      var x = Math.round((lon + 180) * 65535 / 360)
+      var y = Math.round((lat + 90) * 65535 / 180)
+      var t = 0L
+      for (_ <- 0 until 16) {
+        t = (t << 1) | (if ((x & 0x8000) != 0) 1 else 0)
+        x <<= 1
+        t = (t << 1) | (if ((y & 0x8000) != 0) 1 else 0)
+        y <<= 1
+      }
+      t
+    }
+    val pts = Seq((-190512345L, -1699254321L), (0L, 0L),
+      (899999999L, 1799999999L), (-900000000L, -1800000000L), (455000000L, 1227500000L))
+    val got = pts.toDF("lat7", "lon7")
+      .select(PgCopy.quadTile(org.apache.spark.sql.functions.col("lat7"),
+        org.apache.spark.sql.functions.col("lon7")).as("t"))
+      .collect().map(_.getLong(0))
+    for (((lat7, lon7), t) <- pts.zip(got))
+      assert(t == ref(lat7 / 1e7, lon7 / 1e7), s"($lat7,$lon7)")
+  }
+
+  test("full interop chain: fixture → COPY dump dir → read → reassemble ≡ original") {
+    val osm = PbfRead.read(spark, fixture)
+    val dir = "/tmp/graft-test-pgcopy-dump"
+    PgCopy.writeApiDb(Normalize.demux(osm), dir)
+    val back = Normalize.reassemble(spark, PgCopy.readApiDb(spark, dir))
+    // apidb cannot represent tag order (no sequence column): compare
+    // with tags canonicalized by (k, v) on both sides
+    def canonTags(ds: org.apache.spark.sql.Dataset[graft.model.OsmEntity]) =
+      ds.map(e => e.copy(tags = e.tags.sortBy(t => (t.k, t.v))))
+    assert(Normalize.diffCount(canonTags(osm), canonTags(back)) == 0)
+  }
+}
