@@ -160,6 +160,32 @@ object Geo {
              |) AS t(relation_id, admin_level, name, n_rings, complete)
              |ORDER BY relation_id""".stripMargin)),
 
+    // exact multipolygon area: signed integer shoelace (2A) per ring,
+    // BigInt-exact (outer CCW ⇒ +, holes CW ⇒ −), summed per relation.
+    // Emitted as a decimal STRING so the value is exact at any
+    // magnitude (DECIMAL/HUGEINT render differently across engines).
+    QueryDef(
+      "q_admin_area2",
+      (s, _) => {
+        import s.implicits._
+        areas(s).map { a =>
+          val area2 = a.rings.map { r =>
+            val n = r.length / 2
+            var acc = BigInt(0)
+            var ax = BigInt(r(2 * (n - 1))); var ay = BigInt(r(2 * (n - 1) + 1))
+            for (i <- 0 until n) {
+              val bx = BigInt(r(2 * i)); val by = BigInt(r(2 * i + 1))
+              acc += ax * by - ay * bx
+              ax = bx; ay = by
+            }
+            acc
+          }.sum
+          (a.relationId, a.adminLevel, area2.toString)
+        }.toDF("relation_id", "admin_level", "area2")
+          .orderBy("relation_id")
+      },
+      Some(GeoGolden.adminArea2Sql)),
+
     // J5-J7 end-to-end. The gated outputs are order-invariant DIGESTS
     // (per-group counts + xor-folded xxhash64 of every row) frozen as
     // VALUES goldens — the same scheme that froze the 14-relation admin

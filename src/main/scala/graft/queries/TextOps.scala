@@ -72,6 +72,60 @@ object TextOps {
       .select(col("doc_id"), shingleSet(col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
 
+  /** LSH candidate pairs (r=2, b=4 band self-join — the bucketed shape,
+    * never all-pairs) verified by exact jaccard ≥ 0.5. Shared by
+    * q_dedup_minhash_lsh and q_dedup_clusters. */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = shingled(s, d)
+      .withColumn("sig", minhashSig(col("shs")))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(3)), b => struct(
+          least(element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)).as("mh_a"),
+          greatest(element_at(col("sig"), b * 2 + 1),
+            element_at(col("sig"), b * 2 + 2)).as("mh_b")))))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col.mh_a").as("mh_a"), col("col.mh_b").as("mh_b"))
+    val pairs = bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.mh_a") === col("r.mh_a") &&
+          col("l.mh_b") === col("r.mh_b") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
+    val sets = shingled(s, d)
+    pairs
+      .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+      .withColumn("n_int", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jacc1000",
+        expr("n_int * 1000 DIV (size(s1) + size(s2) - n_int)"))
+      .filter(col("jacc1000") >= 500)
+      .select("d1", "d2", "jacc1000")
+  }
+
+  /** DuckDB CTE prefix ending in `vp(d1, d2, jacc1000)` — the oracle
+    * mirror of [[verifiedPairs]] (RECURSIVE so callers may append a
+    * recursive CTE; harmless otherwise). */
+  private val verifiedPairsCte: String =
+    s"""WITH RECURSIVE c AS ($corpusSql),
+       |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
+       |st AS (SELECT doc_id, $shingleSetSql AS shs FROM tk),
+       |sh AS (SELECT doc_id, unnest(shs) AS x FROM st),
+       |ex AS (SELECT doc_id, x, unnest(range(0, 8)) AS j FROM sh),
+       |sig AS (SELECT doc_id, j,
+       |  CAST(min(((1 + j * 2) * x % 1000000007 + j * 17 % 1000000007)
+       |       % 1000000007) AS BIGINT) AS mh
+       |  FROM ex GROUP BY doc_id, j),
+       |bands AS (SELECT doc_id, j // 2 AS band, min(mh) AS mh_a, max(mh) AS mh_b
+       |  FROM sig GROUP BY doc_id, j // 2),
+       |pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.mh_a = r.mh_a
+       |    AND l.mh_b = r.mh_b AND l.doc_id < r.doc_id),
+       |vp AS (SELECT d1, d2,
+       |  len(list_intersect(a.shs, b.shs)) * 1000
+       |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jacc1000
+       |FROM pairs JOIN st a ON a.doc_id = d1 JOIN st b ON b.doc_id = d2
+       |WHERE len(list_intersect(a.shs, b.shs)) * 1000
+       |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 500)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // document fingerprinting (rolling/polynomial hash)
@@ -168,56 +222,52 @@ object TextOps {
     // minhash + LSH banding (r=2, b=4) + exact-jaccard verify ≥ 0.5
     QueryDef(
       "q_dedup_minhash_lsh",
+      (s, d) => verifiedPairs(s, d).orderBy("d1", "d2"),
+      Some(s"""$verifiedPairsCte
+              |SELECT d1, d2, jacc1000 FROM vp ORDER BY d1, d2""".stripMargin)),
+
+    // near-dup CLUSTER FORMATION: connected components over the
+    // verified-pair graph. Spark: min-label propagation to fixed point
+    // (O(component diameter) rounds — diameter ≤ 2-3 for dup clusters;
+    // each round one join + one map-side-combined min agg, the GraphX/
+    // GraphFrames CC shape without the dependency). Oracle: DuckDB
+    // recursive-CTE transitive closure + min-reachable-id.
+    QueryDef(
+      "q_dedup_clusters",
       (s, d) => {
-        // per-row signature → per-row (r=2) band digests: the only
-        // shuffle before the verify joins is the LSH band self-join
-        // itself (the right bucketed shape — never all-pairs)
-        val bands = shingled(s, d)
-          .withColumn("sig", minhashSig(col("shs")))
-          .select(col("doc_id"), posexplode(
-            transform(sequence(lit(0), lit(3)), b => struct(
-              least(element_at(col("sig"), b * 2 + 1),
-                element_at(col("sig"), b * 2 + 2)).as("mh_a"),
-              greatest(element_at(col("sig"), b * 2 + 1),
-                element_at(col("sig"), b * 2 + 2)).as("mh_b")))))
-          .select(col("doc_id"), col("pos").as("band"),
-            col("col.mh_a").as("mh_a"), col("col.mh_b").as("mh_b"))
-        val pairs = bands.as("l").join(bands.as("r"),
-            col("l.band") === col("r.band") && col("l.mh_a") === col("r.mh_a") &&
-              col("l.mh_b") === col("r.mh_b") && col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
-        val sets = shingled(s, d)
-        pairs
-          .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-          .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
-          .withColumn("n_int", size(array_intersect(col("s1"), col("s2"))))
-          .withColumn("jacc1000",
-            expr("n_int * 1000 DIV (size(s1) + size(s2) - n_int)"))
-          .filter(col("jacc1000") >= 500)
-          .select("d1", "d2", "jacc1000")
-          .orderBy("d1", "d2")
+        val pairs = verifiedPairs(s, d).select("d1", "d2")
+        val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+          .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+        def truncate(df: DataFrame): DataFrame =
+          s.createDataFrame({ val r = df.rdd; r.localCheckpoint(); r.count(); r },
+            df.schema)
+        val edgesM = truncate(edges)
+        var labels = truncate(edgesM.select(col("a").as("node"))
+          .distinct().withColumn("comp", col("node")))
+        var converged = false
+        var round = 0
+        while (!converged && round < 50) {
+          val next = truncate(
+            edgesM.join(labels, edgesM("a") === labels("node"))
+              .select(col("b").as("node"), col("comp"))
+              .union(labels)
+              .groupBy("node").agg(min(col("comp")).as("comp")))
+          converged = next.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(col("comp") =!= col("old")).isEmpty
+          labels = next
+          round += 1
+        }
+        labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy("doc_id")
       },
-      Some(s"""WITH c AS ($corpusSql),
-              |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
-              |st AS (SELECT doc_id, $shingleSetSql AS shs FROM tk),
-              |sh AS (SELECT doc_id, unnest(shs) AS x FROM st),
-              |ex AS (SELECT doc_id, x, unnest(range(0, 8)) AS j FROM sh),
-              |sig AS (SELECT doc_id, j,
-              |  CAST(min(((1 + j * 2) * x % 1000000007 + j * 17 % 1000000007)
-              |       % 1000000007) AS BIGINT) AS mh
-              |  FROM ex GROUP BY doc_id, j),
-              |bands AS (SELECT doc_id, j // 2 AS band, min(mh) AS mh_a, max(mh) AS mh_b
-              |  FROM sig GROUP BY doc_id, j // 2),
-              |pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
-              |  FROM bands l JOIN bands r ON l.band = r.band AND l.mh_a = r.mh_a
-              |    AND l.mh_b = r.mh_b AND l.doc_id < r.doc_id)
-              |SELECT d1, d2,
-              |  len(list_intersect(a.shs, b.shs)) * 1000
-              |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) AS jacc1000
-              |FROM pairs JOIN st a ON a.doc_id = d1 JOIN st b ON b.doc_id = d2
-              |WHERE len(list_intersect(a.shs, b.shs)) * 1000
-              |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs))) >= 500
-              |ORDER BY d1, d2""".stripMargin)),
+      Some(s"""$verifiedPairsCte,
+              |e AS (SELECT d1 AS a, d2 AS b FROM vp
+              |  UNION SELECT d2, d1 FROM vp
+              |  UNION SELECT d1, d1 FROM vp UNION SELECT d2, d2 FROM vp),
+              |r AS (SELECT a, b FROM e
+              |  UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+              |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              |FROM r GROUP BY a ORDER BY doc_id""".stripMargin)),
 
     // simhash (16-bit, token-level)
     QueryDef(

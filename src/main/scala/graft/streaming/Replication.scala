@@ -37,6 +37,30 @@ object Replication {
         })
   }
 
+  final case class DedupDoc(docId: Long, fp: Long)
+
+  /** Streaming exact dedup for a document stream (training-data
+    * pipeline op): keyed on the text fingerprint, emits only the FIRST
+    * document carrying each fingerprint; later copies are swallowed by
+    * the keyed state. State per key is one boolean — at 100 TB the
+    * state store shards by fingerprint across executors, the same
+    * contract as the batch hash-groupBy dedup (q_dedup_exact). Input:
+    * (doc_id BIGINT, fp BIGINT) — fingerprint with str_poly_hash. */
+  def streamingDedup(spark: SparkSession, docs: DataFrame): Dataset[DedupDoc] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("docId"), col("fp")).as[DedupDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[DedupDoc], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // deterministic keeper within a batch: smallest doc id
+            Iterator(rows.minBy(_.docId))
+          }
+        })
+  }
+
   /** Watermarked tumbling-window counts over an event stream with
     * (ts TIMESTAMP, event_type STRING, value DOUBLE). */
   def windowedEventCounts(events: DataFrame,

@@ -45,6 +45,31 @@ class ReplicationSpec extends AnyFunSuite {
     assert(n1v2 == 1)
   }
 
+  test("streaming exact dedup emits one keeper per fingerprint across micro-batches") {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    // batch 1: docs 1,2 distinct + doc 3 duplicating doc 1's fp
+    Seq((1L, 100L), (3L, 100L), (2L, 200L)).toDF("doc_id", "fp")
+      .coalesce(1).write.parquet(s"$dir/b1") // one file ⇒ one micro-batch
+    val schema = Seq((1L, 1L)).toDF("doc_id", "fp").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b*/")
+    val q = Replication.streamingDedup(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup1").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // batch 2: replays of both fps + one new fp
+    Seq((4L, 100L), (5L, 200L), (6L, 300L)).toDF("doc_id", "fp")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val q2 = Replication.streamingDedup(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup2").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val out = spark.sql("SELECT docId, fp FROM dedup2 ORDER BY fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // keeper per fp: smallest doc id in its first batch; replays ignored
+    assert(out == Seq((1L, 100L), (2L, 200L), (6L, 300L)), s"got $out")
+  }
+
   test("watermarked tumbling-window counts match the batch equivalent") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val dir = Files.createTempDirectory("graft-events").toString
