@@ -69,7 +69,9 @@ object Cli {
           // (transaction id, timestamp) used to default replication
           // params on export (G5, /root/reference/src/lib.rs:222-253)
           val maxChangeset = db.changesets.agg(
-            org.apache.spark.sql.functions.max("changeset_id")).head().getLong(0)
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.max("changeset_id"),
+              org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
           java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "_dump_meta.json"),
             s"""{"importedAtMs":${System.currentTimeMillis()},"maxChangeset":$maxChangeset}""")
           println(s"[graft] imported $in -> $out (10 tables)")

@@ -13,43 +13,49 @@ import org.apache.spark.unsafe.types.UTF8String
 object PgTextRT {
   private val NullMarker = UTF8String.fromString("\\N")
 
-  /** Returns null (Java) for the \N marker; unescaped text otherwise. */
+  /** Returns null (Java) for the \\N marker; unescaped text otherwise.
+    * BYTE-oriented: COPY's octal/hex escapes denote raw BYTES (a UTF-8
+    * character may arrive as e.g. \\303\\251), so decoding walks the
+    * UTF-8 bytes directly — never through Java chars. */
   def pgUnescape(s: UTF8String): UTF8String = {
     if (s.equals(NullMarker)) return null
-    val str = s.toString
-    if (str.indexOf('\\') < 0) return s
-    val sb = new java.lang.StringBuilder(str.length)
+    val bytes = s.getBytes
+    val n = bytes.length
+    var hasEscape = false
+    var k = 0
+    while (k < n && !hasEscape) { if (bytes(k) == '\\') hasEscape = true; k += 1 }
+    if (!hasEscape) return s
+    val out = new java.io.ByteArrayOutputStream(n)
     var i = 0
-    val n = str.length
     while (i < n) {
-      val c = str.charAt(i)
-      if (c != '\\' || i == n - 1) { sb.append(c); i += 1 }
+      val c = bytes(i)
+      if (c != '\\' || i == n - 1) { out.write(c); i += 1 }
       else {
-        str.charAt(i + 1) match {
-          case 'b' => sb.append('\b'); i += 2
-          case 'f' => sb.append('\f'); i += 2
-          case 'n' => sb.append('\n'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'v' => sb.append('\u000B'); i += 2
+        bytes(i + 1) match {
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'v' => out.write(0x0B); i += 2
           case 'x' =>
             var j = i + 2; var v = 0; var d = 0
-            while (j < n && d < 2 && Character.digit(str.charAt(j), 16) >= 0) {
-              v = v * 16 + Character.digit(str.charAt(j), 16); j += 1; d += 1
+            while (j < n && d < 2 && Character.digit(bytes(j).toChar, 16) >= 0) {
+              v = v * 16 + Character.digit(bytes(j).toChar, 16); j += 1; d += 1
             }
-            if (d == 0) { sb.append('x'); i += 2 }
-            else { sb.append(v.toChar); i = j }
+            if (d == 0) { out.write('x'); i += 2 }
+            else { out.write(v & 0xFF); i = j }
           case o if o >= '0' && o <= '7' =>
             var j = i + 1; var v = 0; var d = 0
-            while (j < n && d < 3 && str.charAt(j) >= '0' && str.charAt(j) <= '7') {
-              v = v * 8 + (str.charAt(j) - '0'); j += 1; d += 1
+            while (j < n && d < 3 && bytes(j) >= '0' && bytes(j) <= '7') {
+              v = v * 8 + (bytes(j) - '0'); j += 1; d += 1
             }
-            sb.append(v.toChar); i = j
-          case other => sb.append(other); i += 2 // \<c> → c per COPY spec
+            out.write(v & 0xFF); i = j
+          case other => out.write(other); i += 2 // \<c> → c per COPY spec
         }
       }
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromBytes(out.toByteArray)
   }
 }
 

@@ -134,7 +134,7 @@ object AdminAreas {
       .collect().toSet
     val bigBc = spark.sparkContext.broadcast(bigKeys)
     val small = open.filter(c => !bigBc.value.contains((c.relationId, c.role)))
-    val localOut = small
+    val localOutRaw = small
       .groupByKey(c => (c.relationId, c.role))
       .flatMapGroups { (key: (Long, String), it: Iterator[Chain]) =>
         val (rel, role) = key
@@ -164,6 +164,9 @@ object AdminAreas {
           .map(id => Chain(rel, role, id, 0L, 0L, Nil, nWays = 1, closed = false))
         rings ++ failed
       }
+    // materialize once: the closed/failed branches (and build()'s joins
+    // over them) would otherwise re-run the stitch shuffle per consumer
+    val localOut = truncateChains(spark, localOutRaw)
     if (bigKeys.isEmpty) {
       (closedInit.union(localOut.filter(_.closed)),
         localOut.filter(c => !c.closed))

@@ -19,9 +19,10 @@ import graft.model.OsmKind
   *
   * Documented deviations (inherent to the apidb schema, not this
   * reader): tag ORDER is not representable (no sequence column — tags
-  * canonicalize sorted by (k,v)); users carries only (id, display_name)
-  * of the ~20 auth columns (the rest hold no OSM data — for a real
-  * pg_dump users.dat pass a column-position override). */
+  * canonicalize sorted by (k,v)); users is modeled as (id,
+  * display_name) — for a real pg_dump users.dat with the ~20 auth
+  * columns pass its full layout via `readApiDb(..., usersLayout = ...)`
+  * (the extra columns carry no OSM data). */
 object PgCopy {
 
   /** COPY column layouts (public apidb schema; "ts" = timestamp). */
@@ -64,8 +65,15 @@ object PgCopy {
 
   /** Distributed read of one COPY text table (file or directory of
     * parts). Skips the `\.` terminator pg_dump appends. */
-  def readTable(spark: SparkSession, path: String, table: String): DataFrame = {
-    val cols = schemas(table)
+  def readTable(spark: SparkSession, path: String, table: String): DataFrame =
+    readTable(spark, path, schemas(table))
+
+  /** Same, with an explicit column layout — the escape hatch for dumps
+    * whose physical column set differs from [[schemas]] (e.g. a real
+    * apidb `users` table carries ~20 auth columns; pass its full layout
+    * and select the ones you need). */
+  def readTable(spark: SparkSession, path: String,
+      cols: Seq[(String, String)]): DataFrame = {
     spark.read.text(path)
       .filter(col("value") =!= "\\." && length(col("value")) > 0)
       .select(split(col("value"), "\t").as("f"))
@@ -156,7 +164,8 @@ object PgCopy {
   /** COPY text dump dir → canonical tables. apidb stores the author on
     * the CHANGESET, so element uid comes through the changesets join
     * (exactly how the reference reader resolves it). */
-  def readApiDb(spark: SparkSession, dir: String): Normalize.ApiDb = {
+  def readApiDb(spark: SparkSession, dir: String,
+      usersLayout: Seq[(String, String)] = schemas("users")): Normalize.ApiDb = {
     def t(n: String) = readTable(spark, s"$dir/$n", n)
     val csUid = t("changesets")
       .select(col("id").as("changeset_id"), col("user_id").cast("int").as("uid"))
@@ -195,7 +204,8 @@ object PgCopy {
       relations = meta("relations", "relation_id"),
       relationTags = tags("relation_tags", "relation_id"),
       relationMembers = members,
-      users = t("users").select(col("id").cast("int").as("uid"),
+      users = readTable(spark, s"$dir/users", usersLayout)
+        .select(col("id").cast("int").as("uid"),
         col("display_name").as("name")),
       changesets = t("changesets").select(col("id").as("changeset_id"),
         col("user_id").cast("int").as("uid"),

@@ -248,9 +248,17 @@ object PbfWrite {
     fs0.delete(new Path(tmp), true)
     fs0.mkdirs(new Path(tmp))
     val stats = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val fs = FileSystem.get(new Path(tmp).toUri, bc.value.value)
-      val out = fs.create(new Path(tmp, f"part-$pid%05d"), true)
+      // task-commit protocol: write under an attempt-unique name, rename
+      // to the final part on success — duplicate attempts (speculation,
+      // zombie first attempts on real clusters) never interleave writes;
+      // last committer wins with byte-identical content (the partition
+      // data is deterministic under the range sort)
+      val finalPath = new Path(tmp, f"part-$pid%05d")
+      val attemptPath = new Path(tmp, f".part-$pid%05d-attempt-${tc.taskAttemptId()}")
+      val out = fs.create(attemptPath, true)
       var rows = 0L
       var invisible = 0L
       var minLat = Long.MaxValue; var maxLat = Long.MinValue
@@ -279,6 +287,8 @@ object PbfWrite {
       }
       flush()
       out.close()
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      require(fs.rename(attemptPath, finalPath), s"commit failed: $finalPath")
       Iterator((pid, rows, invisible, minLat, maxLat, minLon, maxLon): PartStats)
     }.collect()
 

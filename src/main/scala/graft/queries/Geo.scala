@@ -64,8 +64,12 @@ object Geo {
     new java.util.concurrent.ConcurrentHashMap[String, SpatialJoin.Prepared]()
 
   private def prepared(s: SparkSession): SpatialJoin.Prepared =
-    preparedCached.computeIfAbsent("niue", _ =>
-      SpatialJoin.prepare(s, areas(s), SpatialJoin.Params()))
+    // keyed by session: Prepared holds localCheckpointed Datasets whose
+    // blocks die with the SparkContext (unlike adminAreasCached, which
+    // stores plain collected rows)
+    preparedCached.computeIfAbsent(
+      s"niue:${s.sparkContext.applicationId}:${s.sparkContext.startTime}",
+      _ => SpatialJoin.prepare(s, areas(s), SpatialJoin.Params()))
 
   val defs: Seq[QueryDef] = Seq(
 

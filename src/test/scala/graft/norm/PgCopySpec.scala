@@ -53,7 +53,23 @@ class PgCopySpec extends AnyFunSuite {
     assert(PgTextRT.pgUnescape(u("a\\7b")).toString == "a\u0007b") // 1-digit octal
     assert(PgTextRT.pgUnescape(u("\\q")).toString == "q")          // \c → c
     assert(PgTextRT.pgUnescape(u("\\N")) == null)                  // NULL marker
-    assert(PgTextRT.pgUnescape(u("x\\N")).toString == "xN")        // only bare \N is null
+    assert(PgTextRT.pgUnescape(u("x\\N")).toString == "xN")        // only bare \N is null    // octal/hex escapes are BYTES: a UTF-8 char may arrive byte-wise
+    assert(PgTextRT.pgUnescape(u("caf\\303\\251")).toString == "caf\u00e9")
+    assert(PgTextRT.pgUnescape(u("caf\\xC3\\xA9")).toString == "caf\u00e9")
+  }
+
+  test("users layout override reads a real-shaped users.dat (extra auth columns)") {
+    val content = "12\talice@example.org\tsecret\t2020-01-01 00:00:00\talice\tt\n" +
+      "34\tbob@example.org\t\\N\t2021-02-02 00:00:00\tbob\tf\n\\.\n"
+    val p = "/tmp/graft-test-pgcopy-users.dat"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), content)
+    val layout = Seq("id" -> "bigint", "email" -> "string",
+      "pass_crypt" -> "string", "creation_time" -> "ts",
+      "display_name" -> "string", "data_public" -> "boolean")
+    val rows = PgCopy.readTable(spark, p, layout)
+      .select("id", "display_name").orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((12L, "alice"), (34L, "bob")))
   }
 
   test("quadTile matches the public openstreetmap algorithm") {
