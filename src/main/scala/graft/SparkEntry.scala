@@ -11,7 +11,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.Geo.defs ++
     graft.queries.TextOps.defs ++ graft.queries.Similarity.defs ++
-    graft.queries.OsmQueries.defs ++ graft.queries.StreamingQueries.defs
+    graft.queries.OsmQueries.defs ++ graft.queries.StreamingQueries.defs ++
+    graft.queries.MultimodalQueries.defs
 
   /** Flagship: the full north-rule pipeline — fixture admin areas ×
     * synthetic pages → containment join → tiles (rows > 0). */

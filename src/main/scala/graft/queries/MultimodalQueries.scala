@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.Multimodal
+import graft.synth.Pages
+import graft.util.QueryDef
+
+/** Driver gate for the multimodal batch plumbing (decode itself is a
+  * documented stub — no decoder libraries ship in the container — but
+  * the schema, mapPartitions batching, and frame fan-out are real and
+  * deterministic, so their outputs freeze into a digest golden like the
+  * other fixture-derived queries). Feature floats are exact multiples
+  * of 1/1000 by construction, so the ×1000 quantization is lossless. */
+object MultimodalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_multimodal",
+      (s, _) => {
+        val media = Multimodal.mediaFromPages(s, Pages.generate(s, 20000))
+        val featDigest = Multimodal.extractFeatures(media).toDF()
+          .select(col("kind"),
+            xxhash64(col("mediaId"), col("dim"),
+              aggregate(transform(col("feature"),
+                x => round(x.cast("double") * 1000, 0).cast("long")),
+                lit(0L), (a, v) => a + v)).as("h0"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
+        val frameDigest = Multimodal.sampleFrames(media).toDF()
+          .select(lit("video_frames").as("kind"),
+            xxhash64(col("mediaId"), col("frameIdx"),
+              xxhash64(col("frameBytes"))).as("h0"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
+        featDigest.union(frameDigest).orderBy("kind")
+      },
+      Some(GeoGolden.multimodalSql))
+  )
+}

@@ -29,6 +29,8 @@ object GoldenGen {
     println(values("q_page_knn", Seq("nn_relation_id" -> "BIGINT", "n_pages" -> "BIGINT", "h" -> "BIGINT")))
     println("=== pageTilesSql ===")
     println(values("q_page_tiles", Seq("z" -> "INTEGER", "x" -> "BIGINT", "y" -> "BIGINT", "relation_id" -> "BIGINT", "n_pages" -> "BIGINT")))
+    println("=== multimodalSql ===")
+    println(values("q_multimodal", Seq("kind" -> "VARCHAR", "n" -> "BIGINT", "h" -> "BIGINT")))
     println("=== adminArea2Sql ===")
     println(values("q_admin_area2", Seq("relation_id" -> "BIGINT", "admin_level" -> "INTEGER", "area2" -> "VARCHAR")))
     println("=== geoparseSql ===")
