@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.{QueryDef, Tables}
@@ -20,6 +21,74 @@ object Relational {
     round(c * 100, 0).cast("long")
 
   val defs: Seq[QueryDef] = Seq(
+
+    // AS-OF JOIN (temporal join Spark lacks natively; DuckDB has it as
+    // a primitive, which makes a perfect oracle): each event matches
+    // the LATEST order by the same customer with o_orderdate <= ts.
+    // Implementation is the scalable union + carry-forward-window form:
+    // tag both sides, ONE shuffle on the key, last(ignoreNulls) over an
+    // unbounded-preceding window ordered by (time, side) — no
+    // range-explode, no per-row subquery, linear per key. The right
+    // side is deduped to max orderkey per (custkey, date) so ties are
+    // deterministic on both engines.
+    QueryDef(
+      "q_asof_join",
+      (s, d) => {
+        val orders = Tables.t(s, d, "orders")
+          .groupBy(col("o_custkey").as("k"),
+            unix_millis(col("o_orderdate").cast("timestamp")).as("t"))
+          .agg(max(col("o_orderkey")).as("ok"))
+          .select(col("k"), col("t"), lit(null).cast("long").as("event_id"),
+            lit(0).as("m"), col("ok"))
+        val events = Tables.t(s, d, "events")
+          .select(col("user_id").as("k"),
+            unix_millis(col("ts").cast("timestamp")).as("t"),
+            col("event_id"), lit(1).as("m"), lit(null).cast("long").as("ok"))
+        val w = Window.partitionBy("k").orderBy(col("t"), col("m"), col("ok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders.union(events)
+          .withColumn("o_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+          .filter(col("m") === 1)
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderdate,
+             |    max(o_orderkey) AS o_orderkey
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, o.o_orderkey
+             |FROM events e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // RANGE (interval) JOIN: same-user event pairs within a 6-hour
+    // window — the other join Spark lacks natively (a naive formulation
+    // degrades to a nested-loop join). Scalable form: bucketize time by
+    // the window width; an interval spans ≤ 2 buckets so it replicates
+    // to exactly those, points probe their own bucket — pure equi-join
+    // on (user, bucket) + a residual range filter. Oracle: DuckDB's
+    // native inequality join (IEJoin). Microsecond-exact on both sides.
+    QueryDef(
+      "q_range_join",
+      (s, d) => {
+        val W = 21600000000L // 6 h in µs
+        val ev = Tables.t(s, d, "events").select(col("user_id").as("k"),
+          unix_micros(col("ts").cast("timestamp")).as("t"), col("event_id"))
+        val intervals = ev
+          .select(col("k"), col("t").as("t0"), col("event_id").as("left_id"))
+          .withColumn("bucket", // Column `/` is double division: use DIV
+            explode(array(expr(s"t0 DIV $W"), expr(s"t0 DIV $W + 1"))))
+        val points = ev.withColumn("bucket", expr(s"t DIV $W"))
+        intervals.join(points, Seq("k", "bucket"))
+          .filter(col("t") > col("t0") && col("t") <= col("t0") + W)
+          .select(col("left_id"), col("event_id").as("right_id"))
+          .orderBy("left_id", "right_id")
+      },
+      Some("""SELECT a.event_id AS left_id, b.event_id AS right_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND epoch_us(b.ts) > epoch_us(a.ts)
+             | AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000
+             |ORDER BY left_id, right_id""".stripMargin)),
 
     // D1: count-by-kind (reference: count_objects, src/lib.rs:50)
     QueryDef(

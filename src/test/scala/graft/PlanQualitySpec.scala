@@ -88,6 +88,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "centre index must broadcast — it is small by construction")
   }
 
+  test("as-of and range joins never degrade to nested-loop/cartesian plans") {
+    for (q <- Seq("q_asof_join", "q_range_join")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay an equi-join plan:\n$plan")
+    }
+  }
+
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
     import spark.implicits._
     val joined = Seq(("u", -190000000L, -1699000000L, 1L))
