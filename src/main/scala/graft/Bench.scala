@@ -210,7 +210,10 @@ object Bench {
          || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs |
          || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |
          |
-         |Per-query seconds at local[$cpus] on $sfDir:
+         |Per-query seconds at local[$cpus] on $sfDir (one shared session,
+         |alphabetical order: the FIRST query additionally carries the
+         |one-time JIT/codegen warm-up and the shared fixture build that
+         |later geo queries reuse from cache):
          |
          || query | sec |
          ||---|---|
