@@ -100,24 +100,36 @@ object SpatialJoin {
     * integer squared planar L2 in 1e-7° space with antimeridian wrap —
     * deterministic at any parallelism.
     *
-    * ONE lazy DAG, zero driver-side actions or loops (round 1 ran 4
-    * driver actions per ring plus a crossJoin fallback):
-    *  - Probe: every page explodes its Chebyshev-≤-maxRing cell DISK
-    *    at knnLevel (one codegen kernel, no interpreted lambdas) and
-    *    left-joins the broadcast centre index → map-side-combined
-    *    min distance; NULL marks pages with no centre in range.
-    *  - Fallback probe (oceans, sparse regions): radius-1 disks around
-    *    the page cell's ancestors at EVERY coarser level in one
-    *    explode — level 0 sees every centre, so a hit is guaranteed
-    *    when the centre table is nonempty. min over all candidates.
-    *  - Exact gather, both branches: pick the gather level whose cell
-    *    height just exceeds the found radius (so kneed ≤ 2 always),
-    *    explode that disk, join the multi-level centre index, argmin.
-    *    Every centre within √d2found sits inside the disk at ANY
-    *    level by the ceil(r/h)+1 ring bound, so the level choice only
-    *    affects cost, never the result. */
+    * ONE lazy DAG, zero driver-side actions or loops, and ALL cell
+    * fan-out lives on the small centre side — pages never explode
+    * (round 2 exploded a (2·maxRing+1)² disk per page: 10^9 probe rows
+    * at 2·10^7 pages; inverting the disk onto the centres made the
+    * probe one row per page):
+    *  - Probe: each centre explodes its Chebyshev-≤-maxRing cell DISK
+    *    at knnLevel into a broadcast (cell → centre) index; pages
+    *    left-join it on their single kcell → map-side-combined min
+    *    distance; NULL marks pages with no centre in range. Disk
+    *    membership is symmetric (|Δx| wraps, |Δy| clamps identically
+    *    both ways), so the hit set is exactly round 2's.
+    *  - Fallback probe (oceans, sparse regions — rare rows only):
+    *    radius-1 disks around the page cell's ancestors at EVERY
+    *    coarser level in one explode — level 0 sees every centre, so a
+    *    hit is guaranteed when the centre table is nonempty. The index
+    *    carries ONLY levels 0..knnLevel-1 (all `ancestor_probe` emits).
+    *  - Exact gather: pick the gather level whose cell height just
+    *    exceeds the found radius (so kneed ≤ 2), explode that disk
+    *    (≤ 25 cells) per page, join the per-branch level-restricted
+    *    centre index, argmin. Every centre within √d2found sits inside
+    *    the disk at ANY level by the ceil(r/h)+1 ring bound, so the
+    *    level choice (and the clamp below) only affects cost, never
+    *    the result. Main-probe hits have √d2found < (maxRing+1)·h·√5,
+    *    hence glvl ≥ knnLevel − ceil(log2((maxRing+1)√5)); clamping
+    *    glvl into that range lets their index carry only those few
+    *    levels instead of all knnLevel+1 (the round-2 broadcast-width
+    *    problem at 10^6 planet centres). */
   def knnCentres(spark: SparkSession, points: DataFrame,
       centres: DataFrame, p: Params): DataFrame = {
+    require(p.knnLevel >= 1, "knnLevel must be >= 1")
     val centIdx = centres.select(col("relation_id").as("c_rel"),
         col("c_lat7"), col("c_lon7"))
       .withColumn("ccell", G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
@@ -128,40 +140,52 @@ object SpatialJoin {
       val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
       dlat * dlat + dlon * dlon
     }
-    // Probe — single pass over the maxRing disk at knnLevel
+    // Probe — centre-side disk index, one row per page on the big side
+    val centDisk = centIdx.withColumn("dcell",
+      explode(G.cell_disk(col("ccell"), lit(p.knnMaxRing))))
     val pts = points
       .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
     val probe = pts
-      .withColumn("rc", explode(G.cell_disk(col("kcell"), lit(p.knnMaxRing))))
-      .join(broadcast(centIdx), col("rc") === col("ccell"), "left_outer")
+      .join(broadcast(centDisk), col("kcell") === col("dcell"), "left_outer")
       .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
+
+    // Multi-level ancestor indexes, restricted per branch (see Scaladoc)
+    def centLevels(lo: Int, hi: Int) = centIdx.withColumn("acell",
+      explode(transform(sequence(lit(lo), lit(hi)),
+        l => G.cell_ancestor(col("ccell"), l))))
+    // glvl floor provable for main-probe hits: √d2 < (maxRing+1)·h·√5
+    val gMin = math.max(0, p.knnLevel -
+      math.ceil(math.log((p.knnMaxRing + 1) * math.sqrt(5.0)) / math.log(2.0)).toInt)
+    val centGather = centLevels(gMin, p.knnLevel)
+    val centFallback = centLevels(0, p.knnLevel - 1)
 
     // Fallback probe — all coarser levels at once; cell ids embed their
     // level so a single multi-level index join covers them all
-    val centMulti = centIdx.withColumn("acell", explode(transform(
-      sequence(lit(0), lit(p.knnLevel)),
-      l => G.cell_ancestor(col("ccell"), l))))
     val fbHit = probe.filter(col("d2found").isNull).drop("d2found")
       .withColumn("rc", explode(G.ancestor_probe(col("kcell"), lit(p.knnLevel))))
-      .join(broadcast(centMulti), col("rc") === col("acell"))
+      .join(broadcast(centFallback), col("rc") === col("acell"))
       .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
 
-    // Exact gather at the radius-matched level: h(glvl) ≥ √d2found ⇒
-    // kneed = ceil(√d2found/h)+1 ≤ 2 ⇒ disk ≤ 25 cells per page
+    // Exact gather at the radius-matched level, glvl clamped into the
+    // branch's index range: h(glvl) ≥ √d2found ⇒ kneed ≤ 2 ⇒ ≤ 25 cells
     val latSpan = graft.geo.Cells.LatSpan.toDouble
-    val bounded = probe.filter(col("d2found").isNotNull).union(fbHit)
-      .withColumn("glvl", least(greatest(
-        floor(log2(lit(latSpan) / (sqrt(col("d2found")) + 1.0))), lit(0)),
-        lit(p.knnLevel)).cast("int"))
-      .withColumn("kneed", (ceil(sqrt(col("d2found")) *
-        pow(lit(2.0), col("glvl")) / latSpan) + 1).cast("int"))
-    bounded
-      .withColumn("rc", explode(G.cell_disk(
-        G.cell_ancestor(col("kcell"), col("glvl")), col("kneed"))))
-      .join(broadcast(centMulti), col("rc") === col("acell"))
-      .withColumn("d2v", d2)
-      .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
-      .select(col("url"), col("b.c_rel").as("nn_relation_id"))
+    def gather(bounded: DataFrame, idx: DataFrame, lvlLo: Int, lvlHi: Int): DataFrame =
+      bounded
+        .withColumn("glvl", least(greatest(
+          floor(log2(lit(latSpan) / (sqrt(col("d2found")) + 1.0))), lit(lvlLo)),
+          lit(lvlHi)).cast("int"))
+        .withColumn("kneed", (ceil(sqrt(col("d2found")) *
+          pow(lit(2.0), col("glvl")) / latSpan) + 1).cast("int"))
+        .withColumn("rc", explode(G.cell_disk(
+          G.cell_ancestor(col("kcell"), col("glvl")), col("kneed"))))
+        .join(broadcast(idx), col("rc") === col("acell"))
+        .withColumn("d2v", d2)
+        .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
+        .select(col("url"), col("b.c_rel").as("nn_relation_id"))
+
+    // each page is in exactly one branch, so per-branch argmin + union
+    gather(probe.filter(col("d2found").isNotNull), centGather, gMin, p.knnLevel)
+      .union(gather(fbHit, centFallback, 0, p.knnLevel - 1))
   }
 
   /** J7: z/x/y raster-tile aggregation of the join output. */
@@ -177,8 +201,8 @@ object SpatialJoin {
         col("relation_id"), col("n_pages"))
 
   /** End-to-end: pages + assembled areas → per-url join rows + tiles.
-    * `knn` is lazy — knnCentres drives driver-side actions (the ring
-    * probe loop), which must not run unless the kNN output is wanted. */
+    * `knn` stays a thunk so callers that only want the containment
+    * join/tiles never even build the kNN plan. */
   final class Outputs(val joined: DataFrame, knnThunk: () => DataFrame,
       val tileCounts: DataFrame) {
     lazy val knn: DataFrame = knnThunk()
