@@ -257,6 +257,11 @@ object TextOps {
           labels = next
           round += 1
         }
+        // a chain with component diameter > the round cap would emit
+        // WRONG cluster ids — fail loudly instead (plausible at corpus
+        // scale; raise the cap or switch to pointer-jumping if hit)
+        require(converged,
+          s"label propagation did not converge within $round rounds")
         labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy("doc_id")
       },
@@ -324,11 +329,15 @@ object TextOps {
               |FROM gs a, gs b WHERE a.doc_id < b.doc_id
               |ORDER BY d1, d2""".stripMargin)),
 
-    // embedding kNN, integer-quantized L2 (brute force, exact oracle)
+    // embedding kNN, integer-quantized L2 — brute-force exactness
+    // BASELINE on the deterministic fixture slice (vec_id % 4 == 0);
+    // the scale path is Similarity.annTopK (q_embed_ann_lsh)
     QueryDef(
       "q_embed_knn_l2q",
       (s, d) => {
-        val emb = Tables.t(s, d, "embeddings").select(col("vec_id"),
+        val emb = Tables.t(s, d, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
         val a = emb.select(col("vec_id").as("a_id"), col("q").as("qa"))
@@ -345,7 +354,7 @@ object TextOps {
              |    list_transform(embedding, x -> round(x * 1000)) AS q,
              |    CAST(list_sum(list_transform(embedding,
              |      x -> round(x * 1000) * round(x * 1000))) AS BIGINT) AS qq
-             |  FROM embeddings)
+             |  FROM embeddings WHERE vec_id % 4 = 0)
              |SELECT vec_id, nn_id FROM (
              |  SELECT a.vec_id, b.vec_id AS nn_id,
              |    row_number() OVER (PARTITION BY a.vec_id ORDER BY

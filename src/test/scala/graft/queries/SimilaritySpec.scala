@@ -37,15 +37,29 @@ class SimilaritySpec extends AnyFunSuite {
         x + Math.floorMod(id * 31 + i, 7) - 3 }
     }
 
+  /** The brute-force baseline's bounded domain: the fixture slice. */
+  private lazy val sliced: Map[Long, Array[Long]] =
+    qvecs.filter { case (id, _) => id % 4 == 0 }
+
   test("brute-force cosine top-3 matches the Scala quantized-key oracle") {
     val got = SparkEntry.queries("q_embed_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
-    for ((id, v) <- qvecs) {
-      val expect = qvecs.toSeq.filter(_._1 != id)
+    assert(got.keySet.map(_._1) == sliced.keySet,
+      "baseline must cover exactly the fixture slice")
+    for ((id, v) <- sliced) {
+      val expect = sliced.toSeq.filter(_._1 != id)
         .map { case (oid, ov) => (-key(v, ov), oid) }.sorted.take(3).map(_._2)
       for ((want, rk) <- expect.zipWithIndex)
         assert(got((id, rk + 1)) == want, s"vec $id rank ${rk + 1}")
     }
+  }
+
+  test("q_embed_ann_recall reports recall@1 above the 0.95 floor") {
+    val row = SparkEntry.queries("q_embed_ann_recall")(spark, sf).collect().head
+    val (nEval, nHit, milli) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    info(s"ann recall gate: $nHit/$nEval = ${milli / 1000.0}")
+    assert(nEval > 0 && milli >= 950,
+      s"ANN recall@1 $milli‰ below the 950‰ floor ($nHit/$nEval)")
   }
 
   test("ANN-LSH finds the planted twin for nearly every vector") {
