@@ -139,35 +139,53 @@ object Bench {
     // cluster would NOT share (each node brings its own memory bus) —
     // the full ladder is reported for transparency.
     // Criterion rungs (1 and 4 cores) are measured as back-to-back
-    // PAIRS, three times, and the efficiency is the best PER-PAIR
+    // PAIRS, three times, and the efficiency is the MEDIAN per-pair
     // ratio: ambient machine noise (host IO flush, neighbor load)
     // suppresses both rungs of a pair similarly, so the ratio is far
     // more stable than independent best-of maxima (observed: unpaired
     // ratios swing 0.72–0.86 across runs of identical code while
-    // paired ratios stay put). Transparency rungs run once.
+    // paired ratios stay put); the median (not the max) keeps the
+    // estimate unbiased under the residual ratio noise, and all three
+    // ratios are reported so the spread is visible. Transparency rungs
+    // run once.
     val critPairs: Seq[((Double, Long), (Double, Long))] =
       if (cpus >= 4) (1 to 3).map(_ => (measurePinned(1, nPages), measurePinned(4, nPages)))
       else Seq.empty
+    val pairRatios = critPairs.collect {
+      case (l, h) if l._1 > 0 => h._1 / (4.0 * l._1) }
+    // the pair whose ratio is the median: lo/hi/efficiency all come
+    // from the SAME run, so the reported numbers are mutually coherent
+    val medianPairOpt =
+      if (pairRatios.nonEmpty && pairRatios.size == critPairs.size)
+        Some(critPairs.sortBy { case (l, h) => h._1 / (4.0 * l._1) }
+          .apply((critPairs.size - 1) / 2))
+      else None
     val extra = Seq(16, 32).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))
     val ladder: Seq[(Int, (Double, Long))] =
-      (if (critPairs.nonEmpty)
-        Seq(1 -> critPairs.map(_._1).maxBy(_._1), 4 -> critPairs.map(_._2).maxBy(_._1))
-      else Seq(1).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))) ++ extra
+      (medianPairOpt match {
+        case Some((l, h)) => Seq(1 -> l, 4 -> h)
+        case None => Seq(1).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))
+      }) ++ extra
     // the 1→4-core criterion only exists when BOTH rungs were measured;
     // report null instead of a bogus ratio on small machines
     val loOpt = ladder.find(_._1 == 1).map(_._2)
     val hi = ladder.find(_._1 == 4).map(_._2).getOrElse(ladder.last._2)
     val efficiencyOpt: Option[Double] =
-      if (critPairs.nonEmpty && critPairs.forall(_._1._1 > 0))
-        Some(critPairs.map { case (l, h) => h._1 / (4.0 * l._1) }.max)
-      else None
+      medianPairOpt.map { case (l, h) => h._1 / (4.0 * l._1) }
     val effJson = efficiencyOpt.map(e => f"$e%.3f").getOrElse("null")
+    val pairsJson = pairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val loPps = loOpt.map(l => f"${l._1}%.1f").getOrElse("null")
     val allChecksums = critPairs.flatMap(p => Seq(p._1._2, p._2._2)) ++ ladder.map(_._2._2)
     val identical = allChecksums.distinct.size == 1 && ladder.head._2._1 > 0
 
     // ---- per-query seconds at the full core count ----
     val spark = session(cpus)
+    // one untimed throwaway run first: absorbs the session's JIT/codegen
+    // warm-up AND builds the shared Niue fixture caches (areas +
+    // prepared cover) that the geo queries reuse — so the alphabetically
+    // first row (q_admin_area2) reports its true cost, not the warm-up
+    try { SparkEntry.queries("q_page_tiles")(spark, sfDir).count() }
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -178,10 +196,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":4,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
+      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":4,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"efficiency_pairs":$pairsJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
         ladder.map { case (c, (pps, _)) => s"""{"cores":$c,"pages_per_sec":${f"$pps%.1f"}}""" }
           .mkString("[", ",", "]")}}}""")
 
+    val measured =
+      s"""|| metric | value | config |
+         ||---|---|---|
+         ${ladder.map { case (c, (pps, _)) =>
+            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned |" }
+           .mkString("\n")}
+         || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs, MEDIAN of 3 paired ratios ${pairsJson} |
+         || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |""".stripMargin
     val md =
       s"""# BENCH — measured (graft.Bench)
          |
@@ -200,28 +226,38 @@ object Bench {
          |this machine before any Spark code runs); a real 4N-executor
          |cluster multiplies memory bandwidth with node count, so the
          |higher rungs are reported for transparency, not as the
-         |criterion.
+         |criterion. The 1- and 4-core rungs are measured as back-to-back
+         |pairs three times; the criterion is the MEDIAN per-pair ratio
+         |(noise-robust and unbiased) with all three ratios shown, and the
+         |displayed 1c/4c rows come from the median pair so every number
+         |is from one coherent run.
          |
-         || metric | value | config |
-         ||---|---|---|
-         ${ladder.map { case (c, (pps, _)) =>
-            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned |" }
-           .mkString("\n")}
-         || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs |
-         || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |
+         |MEASURED_TABLE_SLOT
          |
          |Per-query seconds at local[$cpus] on $sfDir (one shared session,
-         |alphabetical order: the FIRST query additionally carries the
-         |one-time JIT/codegen warm-up and the shared fixture build that
-         |later geo queries reuse from cache):
+         |alphabetical order, AFTER one untimed throwaway run that absorbs
+         |the session JIT/codegen warm-up and the shared Niue fixture
+         |build — every row is that query's own cost):
          |
          || query | sec |
          ||---|---|
          ${results.map { case (k, v) => s"|| $k | ${f"$v%.3f"} |" }.mkString("\n")}
-         |""".stripMargin
+         |""".stripMargin.replace("MEASURED_TABLE_SLOT", measured)
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    // splice the SAME measured table into BASELINE.md between its
+    // markers, so the two documents can never disagree (they cited
+    // different runs of each other in round 2)
+    val basePath = java.nio.file.Paths.get("BASELINE.md")
+    if (java.nio.file.Files.exists(basePath)) {
+      val txt = java.nio.file.Files.readString(basePath)
+      val (b, e) = ("<!-- BENCH:MEASURED:BEGIN -->", "<!-- BENCH:MEASURED:END -->")
+      val (i, j) = (txt.indexOf(b), txt.indexOf(e))
+      if (i >= 0 && j > i)
+        java.nio.file.Files.writeString(basePath,
+          txt.substring(0, i + b.length) + "\n" + measured + "\n" + txt.substring(j))
+    }
     spark.stop()
   }
 }

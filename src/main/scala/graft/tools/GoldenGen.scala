@@ -12,8 +12,14 @@ object GoldenGen {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def values(q: String, cols: Seq[(String, String)]): String = {
+      // string-typed columns must render as quoted SQL literals or the
+      // generated VALUES clause is invalid and needs hand-fixing
+      def lit(v: Any, sqlType: String): String =
+        if (sqlType == "VARCHAR") "'" + v.toString.replace("'", "''") + "'"
+        else v.toString
       val rows = graft.SparkEntry.queries(q)(spark, "unused").collect()
-        .map(r => "(" + (0 until r.length).map(i => r.get(i).toString).mkString(",") + ")")
+        .map(r => "(" + (0 until r.length)
+          .map(i => lit(r.get(i), cols(i)._2)).mkString(",") + ")")
         .mkString(",\n| ")
       val colNames = cols.map(_._1).mkString(", ")
       val casts = cols.map { case (n, t) => s"CAST($n AS $t) AS $n" }.mkString(",\n|  ")
