@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * as opaque BINARY columns + typed metadata, processed in BATCHES via
   * mapPartitions (the Scala analogue of the Pandas-UDF batch shape).
   *
-  * The actual byte decode is a clearly-marked STUB — no image/audio
-  * libraries ship in this container — but everything Spark-side is
-  * real and tested: schema, batching, partition-level iteration,
-  * deterministic output at any parallelism, and the frame-sampling
-  * fan-out. Swapping `decodeBatchStub` for a real decoder changes no
-  * plan shape. */
+  * The IMAGE branch is a REAL decode: JPEG/PNG bytes → pixels via the
+  * JDK's own `javax.imageio` (no extra jars), features derived from the
+  * decoded pixel grid. Audio/video decode remains a clearly-marked STUB
+  * (no audio/video decoder ships in the container), with real and
+  * tested plumbing around it: schema, batching, partition-level
+  * iteration, deterministic output at any parallelism, and the
+  * frame-sampling fan-out. Swapping the stub for a real decoder changes
+  * no plan shape. */
 object Multimodal {
 
   final case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, nFrames: Int)
@@ -24,10 +26,14 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Deterministic media table derived from the pages html payload —
-    * stands in for a real (id, kind, bytes, meta) multimodal table. */
+    * stands in for a real (id, kind, bytes, meta) multimodal table.
+    * IMAGE rows carry a REAL PNG payload (tiny, deterministic pixels
+    * keyed on mediaId, encoded per row with the JDK PNG writer) whose
+    * meta matches the actual image dims, so the decode branch below
+    * exercises a genuine bytes→pixels path. */
   def mediaFromPages(spark: SparkSession, pages: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    pages.select(
+    val base = pages.select(
         xxhash64(col("url")).as("mediaId"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(xxhash64(col("url"), lit(1)), lit(3)) + 1).cast("int")).as("kind"),
@@ -39,13 +45,80 @@ object Multimodal {
       .select(col("mediaId"), col("kind"), col("bytes"),
         struct(col("width"), col("height"), col("sampleRateHz"), col("nFrames")).as("meta"))
       .as[MediaRow]
+    base.map { row =>
+      if (row.kind != "image") row
+      else {
+        val w = (row.meta.width % 14) + 3
+        val h = (row.meta.height % 14) + 3
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var hh = row.mediaId * 1000003L + y * 131L + x
+            hh ^= hh << 13; hh ^= hh >>> 7; hh ^= hh << 17
+            img.setRGB(x, y, (hh & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        row.copy(bytes = bos.toByteArray,
+          meta = row.meta.copy(width = w, height = h))
+      }
+    }
   }
 
-  /** ??? STUB ???  A real implementation decodes the media bytes
-    * (JPEG/PCM/container demux) and runs a feature extractor. This
-    * deterministic fake hashes the bytes into FeatureDim floats so the
-    * surrounding plumbing (batch shape, schema, ordering independence)
-    * is fully testable without decoder libraries. */
+  /** REAL image decode via the JDK's javax.imageio (JPEG/PNG/GIF/BMP —
+    * whatever the platform readers support); None when the payload is
+    * not a decodable image. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Features from DECODED PIXELS (all exact multiples of 1/1000, so
+    * the gate's ×1000 quantization stays lossless): dims, per-channel
+    * integer means, 8-bin luma histogram, pixel count, luma min/max. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Float](FeatureDim)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](8)
+    var minL = 255; var maxL = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = (r * 299 + g * 587 + b * 114) / 1000
+        hist(luma >> 5) += 1
+        if (luma < minL) minL = luma
+        if (luma > maxL) maxL = luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    out(0) = w / 1000.0f; out(1) = h / 1000.0f
+    out(2) = (sr / n) / 1000.0f; out(3) = (sg / n) / 1000.0f
+    out(4) = (sb / n) / 1000.0f
+    var k = 0
+    while (k < 8) { out(5 + k) = hist(k) / 1000.0f; k += 1 }
+    out(13) = n / 1000.0f
+    out(14) = minL / 1000.0f; out(15) = maxL / 1000.0f
+    out
+  }
+
+  /** ??? STUB ??? (audio/video only) A real implementation demuxes the
+    * container and decodes PCM/frames; no audio/video decoder ships in
+    * this container, so this deterministic fake hashes the bytes into
+    * FeatureDim floats — the surrounding plumbing (batch shape, schema,
+    * ordering independence) stays fully testable. Image payloads do NOT
+    * go through here: they take the real [[decodeImage]] path. */
   def decodeBatchStub(batch: Array[Array[Byte]]): Array[Array[Float]] =
     batch.map { bytes =>
       val out = new Array[Float](FeatureDim)
@@ -61,13 +134,22 @@ object Multimodal {
       out
     }
 
+  /** Per-batch decode dispatch: REAL JDK pixel decode for image rows
+    * (hash-stub fallback only if the bytes fail to decode), hash stub
+    * for audio/video. */
+  def decodeBatch(batch: Array[(String, Array[Byte])]): Array[Array[Float]] =
+    batch.map { case (kind, bytes) =>
+      (if (kind == "image") decodeImage(bytes).map(imageFeatures) else None)
+        .getOrElse(decodeBatchStub(Array(bytes)).head)
+    }
+
   /** Batched feature extraction: one decode call per ≤BatchSize rows —
     * the exact shape a vectorized/pandas UDF would have. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { chunk =>
-        val feats = decodeBatchStub(chunk.map(_.bytes).toArray)
+        val feats = decodeBatch(chunk.map(r => (r.kind, r.bytes)).toArray)
         chunk.zip(feats).map { case (row, f) =>
           MediaFeature(row.mediaId, row.kind, FeatureDim, f)
         }

@@ -31,6 +31,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.toSeq.distinct.length > 400)
   }
 
+  // an EXTERNAL 4×3 grayscale-ramp PNG (written by a separate encoder,
+  // not our own ImageIO round-trip): pixel (x,y) has R=G=B = 10+20·(4y+x)
+  private val externalPng = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAQAAAADCAIAAAA7ljmRAAAAMklEQVR4nAEnANj/AAoKCh4eHj" +
+    "IyMkZGRgBaWlpubm6CgoKWlpYAqqqqvr6+0tLS5ubm3SsQ4fxWj/8AAAAASUVORK5CYII=")
+
+  test("a real external PNG decodes to exact pixel-derived features") {
+    val img = Multimodal.decodeImage(externalPng)
+      .getOrElse(fail("external PNG must decode"))
+    assert(img.getWidth == 4 && img.getHeight == 3)
+    assert((img.getRGB(2, 1) & 0xffffff) == 0x828282) // 10+20·6 = 130
+    val f = Multimodal.imageFeatures(img).toSeq
+    val expect = Seq(0.004f, 0.003f, 0.120f, 0.120f, 0.120f, // dims, ch means
+      0.002f, 0.001f, 0.002f, 0.001f, 0.002f, 0.002f, 0.001f, 0.001f, // luma hist
+      0.012f, 0.010f, 0.230f) // n pixels, luma min, luma max
+    assert(f == expect, s"got $f")
+    // and the full batch path routes image bytes through the real decode
+    val viaBatch = Multimodal.decodeBatch(Array(("image", externalPng))).head.toSeq
+    assert(viaBatch == expect)
+    // non-image bytes must fall back to the stub, not throw
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("synthetic media image rows carry genuine PNGs matching their meta") {
+    val imgs = media.filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    for (row <- imgs.take(20)) {
+      val img = Multimodal.decodeImage(row.bytes)
+        .getOrElse(fail(s"media ${row.mediaId} must be a real PNG"))
+      assert(img.getWidth == row.meta.width && img.getHeight == row.meta.height)
+    }
+    // extracted features reflect the DECODED dims, not the payload hash
+    val feats = Multimodal.extractFeatures(media).collect()
+      .filter(_.kind == "image").map(f => f.mediaId -> f.feature).toMap
+    for (row <- imgs.take(20)) {
+      val f = feats(row.mediaId)
+      assert(math.round(f(0) * 1000) == row.meta.width)
+      assert(math.round(f(1) * 1000) == row.meta.height)
+    }
+  }
+
   test("frame sampling fan-out matches metadata") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
     val videos = media.filter(_.kind == "video").collect()
