@@ -42,7 +42,29 @@ object PbfRead {
     fs.open(p)
   }
 
-  /** Driver-side frame index: sequence of blob pointers. */
+  /** Resolve a PBF input to its ordered physical files: a plain file is
+    * itself; a [[PbfWrite]] directory (the scale-native form) is its
+    * name-sorted `part-*` list — the format is frame-concatenable, so
+    * the ordered list IS the file. Returns (path, length) pairs. */
+  def partFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Seq((path, st.getLen))
+    else {
+      val parts = fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      require(parts.nonEmpty, s"no part-* files under PBF directory $path")
+      parts.toSeq.map(s => (s.getPath.toString, s.getLen))
+    }
+  }
+
+  /** Driver-side frame index: sequence of blob pointers. Fine for
+    * files up to a few hundred MB; a planet file has ~9M frames, so
+    * [[scanFramesDistributed]] takes over above
+    * [[DistributedScanThreshold]] (the same block-split + resync trick
+    * FileInputFormat uses for text). */
   def scanFrames(spark: SparkSession, path: String): Seq[BlobPtr] = {
     val in = new DataInputStream(hadoopOpen(spark, path))
     val out = scala.collection.mutable.ArrayBuffer.empty[BlobPtr]
@@ -71,6 +93,132 @@ object PbfRead {
       }
       out.toSeq
     } finally in.close()
+  }
+
+  /** Files at least this large index in parallel tasks. */
+  val DistributedScanThreshold: Long = 256L << 20
+
+  // PBF frames carry no sync marker, but every OSMData BlobHeader
+  // starts with the field-1 tag + length + literal type: a 9-byte
+  // signature whose false-positive rate inside compressed data is
+  // ~2^-72 per position — and every candidate is chain-validated
+  // (its own BlobHeader parses AND the next frame's does too).
+  private val DataSig: Array[Byte] =
+    Array[Byte](0x0a, 0x07) ++ "OSMData".getBytes("US-ASCII")
+  private val MaxHeaderLen = 64 << 10 // spec: BlobHeader < 64 KiB
+  private val MaxDataLen = 64 << 20 // spec: blob < 32 MiB; lenient ×2
+
+  private def parseBlobHeader(b: Array[Byte]): Option[(String, Int)] =
+    try {
+      val p = new Proto(b)
+      var t = ""
+      var dl = -1
+      while (p.hasMore) {
+        p.readKey() match {
+          case (1, 2) => t = p.readString()
+          case (3, 0) => dl = p.readVarint().toInt
+          case (_, w) => p.skip(w)
+        }
+      }
+      if (t.nonEmpty && dl >= 0) Some((t, dl)) else None
+    } catch { case _: Exception => None }
+
+  /** Parse the frame starting at `pos` if one validly does:
+    * (blobType, headerLen, dataLen). */
+  private def frameAt(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long, pos: Long): Option[(String, Int, Int)] = {
+    if (pos + 4 > fileLen) return None
+    val lenBuf = new Array[Byte](4)
+    in.readFully(pos, lenBuf)
+    val hl = java.nio.ByteBuffer.wrap(lenBuf).getInt
+    if (hl <= 0 || hl > MaxHeaderLen || pos + 4 + hl > fileLen) return None
+    val hb = new Array[Byte](hl)
+    in.readFully(pos + 4, hb)
+    parseBlobHeader(hb) match {
+      case Some((t, dl)) if dl <= MaxDataLen && pos + 4 + hl + dl <= fileLen =>
+        Some((t, hl, dl))
+      case _ => None
+    }
+  }
+
+  /** One split's frames: signature-search the first frame START in
+    * [start, end), then walk frame-to-frame while starts stay inside
+    * the split (a frame may extend past `end`; ownership is by start,
+    * so splits neither overlap nor leave gaps). */
+  private def scanRange(in: org.apache.hadoop.fs.FSDataInputStream,
+      path: String, fileLen: Long, start: Long, end: Long): Seq[BlobPtr] = {
+    val chunkSize = 1 << 20
+    // the signature sits 4 bytes after the frame start, so scan
+    // positions [start+4, end+4)
+    var found = -1L
+    var base = start + 4
+    val buf = new Array[Byte](chunkSize + DataSig.length - 1)
+    while (found < 0 && base < end + 4 && base < fileLen) {
+      val n = math.min(buf.length.toLong, fileLen - base).toInt
+      in.readFully(base, buf, 0, n)
+      var i = 0
+      while (found < 0 && i <= n - DataSig.length) {
+        var k = 0
+        while (k < DataSig.length && buf(i + k) == DataSig(k)) k += 1
+        if (k == DataSig.length) {
+          val cand = base + i - 4
+          if (cand >= start && cand < end) {
+            // chain validation: this frame AND its successor must parse
+            frameAt(in, fileLen, cand) match {
+              case Some((_, hl, dl)) =>
+                val next = cand + 4 + hl + dl
+                if (next == fileLen || frameAt(in, fileLen, next).isDefined)
+                  found = cand
+              case None =>
+            }
+          }
+        }
+        i += 1
+      }
+      base += chunkSize // chunks overlap by sig-1 bytes via buf slack
+    }
+    if (found < 0) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[BlobPtr]
+    var pos = found
+    while (pos < end && pos < fileLen) {
+      frameAt(in, fileLen, pos) match {
+        case Some((t, hl, dl)) =>
+          out += BlobPtr(path, pos + 4 + hl, dl, t)
+          pos += 4 + hl + dl
+        case None =>
+          throw new java.io.IOException(
+            s"corrupt PBF frame chain at offset $pos in $path")
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed frame index (SURVEY A1 at planet scale): byte-range
+    * splits scanned in parallel tasks — the driver never walks ~9M
+    * frame headers itself. Emits OSMData pointers only (the OSMHeader
+    * frame carries no data-signature and is probed by [[readHeader]]). */
+  def scanFramesDistributed(spark: SparkSession, path: String,
+      splitBytes: Long = 128L << 20): Dataset[BlobPtr] = {
+    import spark.implicits._
+    require(splitBytes > 0)
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val fileLen = fs.getFileStatus(p).getLen
+    val nSplits = math.max(1L, (fileLen + splitBytes - 1) / splitBytes).toInt
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    val splits = (0 until nSplits)
+      .map(i => (i * splitBytes, math.min((i + 1) * splitBytes, fileLen)))
+    spark.createDataset(splits)
+      .repartition(math.min(nSplits, spark.sparkContext.defaultParallelism * 4))
+      .flatMap { case (start, end) =>
+        val hp = new Path(path)
+        val fsx = FileSystem.get(hp.toUri, bc.value.value)
+        val in = fsx.open(hp)
+        try scanRange(in, path, fileLen, start, end).filter(_.blobType == "OSMData")
+        finally in.close()
+      }
   }
 
   /** Inflate a Blob message (raw or zlib) to its uncompressed bytes. */
@@ -113,7 +261,8 @@ object PbfRead {
     * OSMHeader — this doubles as file-magic validation. */
   def readHeader(spark: SparkSession, path: String): PbfHeader = {
     val frames = {
-      val in = new DataInputStream(hadoopOpen(spark, path))
+      // directory form: the header frame lives in the first part
+      val in = new DataInputStream(hadoopOpen(spark, partFiles(spark, path).head._1))
       try {
         val headerLen = in.readInt()
         val headerBytes = new Array[Byte](headerLen)
@@ -202,9 +351,12 @@ object PbfRead {
       }
     }
     val strArr = strings.toArray
-    // granularity 100 nanodeg == exactly 1e-7°; other granularities scale
-    @inline def toLat7(raw: Long): Long = (latOffset + granularity * raw) / 100L
-    @inline def toLon7(raw: Long): Long = (lonOffset + granularity * raw) / 100L
+    // granularity 100 nanodeg == exactly 1e-7°; other granularities
+    // scale. floorDiv, not truncating /: for granularity ≠ 100 and
+    // negative coordinates the two differ by 1 unit, and the header
+    // bbox path already floors (readHeader) — they must agree.
+    @inline def toLat7(raw: Long): Long = Math.floorDiv(latOffset + granularity * raw, 100L)
+    @inline def toLon7(raw: Long): Long = Math.floorDiv(lonOffset + granularity * raw, 100L)
 
     groups.iterator.flatMap { g =>
       val out = scala.collection.mutable.ArrayBuffer.empty[OsmEntity]
@@ -410,13 +562,21 @@ object PbfRead {
       f == "OsmSchema-V0.6" || f == "DenseNodes" || f == "HistoricalInformation" ||
         f.startsWith("Sort.")),
       s"unsupported required features: ${header.requiredFeatures}")
-    val frames = scanFrames(spark, path).filter(_.blobType == "OSMData")
+    val files = partFiles(spark, path)
+    // small files: cheap driver walk; planet-sized: distributed index
+    val frames: Dataset[BlobPtr] = files.map { case (f, len) =>
+      if (len >= DistributedScanThreshold) scanFramesDistributed(spark, f)
+      else scanFrames(spark, f).filter(_.blobType == "OSMData").toDS()
+    }.reduce(_ union _)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconf)
-    // one task per a few blobs: blobs are ~8k elements each
-    val nPart = math.max(1, math.min(frames.size, spark.sparkContext.defaultParallelism * 2))
-    frames.toDS().repartition(nPart).mapPartitions { ptrs =>
+    // one task per a few blobs: blobs are ~8k elements each (sized off
+    // the byte length so neither index path needs a count action)
+    val totalLen = files.map(_._2).sum
+    val nPart = math.max(1, math.min((totalLen >> 21).toInt + 1,
+      spark.sparkContext.defaultParallelism * 2))
+    frames.repartition(nPart).mapPartitions { ptrs =>
       val byPath = ptrs.toSeq.groupBy(_.path)
       byPath.iterator.flatMap { case (path, ps) =>
         val hp = new Path(path)

@@ -225,27 +225,39 @@ object PbfWrite {
     frame("OSMData", block.toArray)
   }
 
-  /** Write the dataset as a PBF file. Global Type_then_ID order via
+  /** Write the dataset as PBF. Global Type_then_ID order via
     * repartitionByRange + sortWithinPartitions (one range shuffle);
     * each task STREAMS its encoded frames to its own part file (never
     * buffering the partition — a planet partition would blow the 2 GB
     * array limit), returning a tiny stats row; the driver derives
-    * historical/bbox from the stats (no extra scan) and concatenates
-    * parts after the header. */
+    * historical/bbox from the stats (no extra scan).
+    *
+    * DEFAULT OUTPUT IS A DIRECTORY: the header frame lands in
+    * `part-00000` and task partition i commits `part-%05d` (i+1) — the
+    * PBF format is frame-concatenable, so the ordered part list IS the
+    * file and no byte ever passes through the driver. `singleFile =
+    * true` additionally concatenates the parts into one `.osm.pbf`
+    * through a driver stream for compatibility (a single-threaded
+    * ~70 GB pass at planet scale — scale jobs should keep the
+    * directory form, which [[PbfRead.read]] consumes natively). */
   def write(spark: SparkSession, ds: Dataset[OsmEntity], path: String,
-      partitions: Int = 0, info: PbfInfo = PbfInfo()): Unit = {
+      partitions: Int = 0, info: PbfInfo = PbfInfo(),
+      singleFile: Boolean = false): Unit = {
     import spark.implicits._
     val nPart = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
     val sorted = ds
       .repartitionByRange(nPart, $"kind", $"id", $"version")
       .sortWithinPartitions($"kind", $"id", $"version")
-    val tmp = path + ".parts"
+    // single-file mode stages parts next door, then concatenates;
+    // directory mode writes the final layout directly
+    val tmp = if (singleFile) path + ".parts" else path
     val hconfSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconfSer)
     val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer.value)
     fs0.delete(new Path(tmp), true)
+    if (singleFile) fs0.delete(new Path(path), false)
     fs0.mkdirs(new Path(tmp))
     val stats = sorted.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
@@ -255,9 +267,10 @@ object PbfWrite {
       // to the final part on success — duplicate attempts (speculation,
       // zombie first attempts on real clusters) never interleave writes;
       // last committer wins with byte-identical content (the partition
-      // data is deterministic under the range sort)
-      val finalPath = new Path(tmp, f"part-$pid%05d")
-      val attemptPath = new Path(tmp, f".part-$pid%05d-attempt-${tc.taskAttemptId()}")
+      // data is deterministic under the range sort). part-00000 is
+      // reserved for the header frame the driver commits at the end.
+      val finalPath = new Path(tmp, f"part-${pid + 1}%05d")
+      val attemptPath = new Path(tmp, f".part-${pid + 1}%05d-attempt-${tc.taskAttemptId()}")
       val out = fs.create(attemptPath, true)
       var rows = 0L
       var invisible = 0L
@@ -302,21 +315,29 @@ object PbfWrite {
           withNodes.map(_._5).max, withNodes.map(_._4).min))
       }
     }
-    // driver: header + ordered concat
+    val hf = headerFrame(historical, bbox, info.source, info.writingProgram,
+      info.replicationTimestamp, info.replicationSequence, info.replicationBaseUrl)
     val fs = FileSystem.get(new Path(path).toUri, hconfSer.value)
-    val out = fs.create(new Path(path), true)
-    out.write(headerFrame(historical, bbox, info.source, info.writingProgram,
-      info.replicationTimestamp, info.replicationSequence, info.replicationBaseUrl))
-    val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    for (p <- parts) {
-      val in = fs.open(p)
-      val b = new Array[Byte](1 << 20)
-      var n = in.read(b)
-      while (n > 0) { out.write(b, 0, n); n = in.read(b) }
-      in.close()
+    // header as part-00000 (written last — it needs the stats — but
+    // FIRST in name order, which is all a frame-concatenated reader uses)
+    val hout = fs.create(new Path(tmp, "part-00000"), true)
+    hout.write(hf)
+    hout.close()
+    if (singleFile) {
+      // compatibility concat: every byte re-passes through one driver
+      // stream — fine for extracts, wrong for planet-scale outputs
+      val out = fs.create(new Path(path), true)
+      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      for (p <- parts) {
+        val in = fs.open(p)
+        val b = new Array[Byte](1 << 20)
+        var n = in.read(b)
+        while (n > 0) { out.write(b, 0, n); n = in.read(b) }
+        in.close()
+      }
+      out.close()
+      fs.delete(new Path(tmp), true)
     }
-    out.close()
-    fs.delete(new Path(tmp), true)
   }
 }

@@ -67,4 +67,70 @@ class PbfReadSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(refs.forall(nodeIds.contains), "every way ref resolves")
   }
+
+  test("distributed frame index ≡ driver index on the fixture (multi-split)") {
+    val driver = PbfRead.scanFrames(spark, fixture).filter(_.blobType == "OSMData")
+    val dist = PbfRead.scanFramesDistributed(spark, fixture, splitBytes = 32 << 10)
+      .collect().sortBy(_.offset).toSeq
+    assert(dist == driver)
+  }
+
+  test("planet-shaped synthetic file (>= 1 GiB, many frames) indexes in parallel") {
+    val path = "/tmp/graft-test-bigpbf.osm.pbf"
+    val nFrames = 11000
+    // ~100 KiB of xorshift bytes: incompressible, so each frame stays
+    // ~100 KiB; the index never decodes payloads
+    val payload = new Array[Byte](100 << 10)
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < payload.length) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      payload(i) = h.toByte
+      i += 1
+    }
+    val dataFrame = PbfWrite.frame("OSMData", payload)
+    val headerBlock = new PbfWrite.Out
+    headerBlock.str(4, "OsmSchema-V0.6")
+    val headerFrame = PbfWrite.frame("OSMHeader", headerBlock.toArray)
+    val os = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20)
+    os.write(headerFrame)
+    (0 until nFrames).foreach(_ => os.write(dataFrame))
+    os.close()
+    try {
+      val fileLen = new java.io.File(path).length()
+      assert(fileLen >= (1L << 30), s"need >= 1 GiB, got $fileLen")
+      val t0 = System.nanoTime()
+      val dist = PbfRead.scanFramesDistributed(spark, path, splitBytes = 32 << 20)
+        .collect()
+      info(f"indexed $nFrames frames of a ${fileLen / 1e9}%.2f GB file " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.2f s across 34 splits")
+      assert(dist.length == nFrames)
+      val driver = PbfRead.scanFrames(spark, path).filter(_.blobType == "OSMData")
+      assert(dist.sortBy(_.offset).toSeq == driver)
+    } finally new java.io.File(path).delete()
+  }
+
+  test("granularity != 100 with negative coords floors (agrees with the header bbox path)") {
+    // raw lat -7 at granularity 1000 with lat_offset -50 → -7050 nanodeg
+    // → floor(-7050/100) = -71 (truncating / would give -70); raw lon -3
+    // with lon_offset +50 → -2950 → floor = -30 (truncate: -29)
+    val dense = new PbfWrite.Out
+    dense.packedSints(1, Seq(5L))
+    dense.packedSints(8, Seq(-7L))
+    dense.packedSints(9, Seq(-3L))
+    val group = new PbfWrite.Out
+    group.msg(2, dense)
+    val st = new PbfWrite.Out
+    st.bytes(1, Array.emptyByteArray) // string index 0 = ""
+    val block = new PbfWrite.Out
+    block.msg(1, st)
+    block.msg(2, group)
+    block.int(17, 1000) // granularity (nanodeg)
+    block.int(19, -50)  // lat_offset — note: varint-encoded int64 field
+    block.int(20, 50)   // lon_offset
+    val ents = PbfRead.decodeBlock(block.toArray).toList
+    assert(ents.map(e => (e.id, e.lat7, e.lon7)) ==
+      List((5L, Some(-71L), Some(-30L))))
+  }
 }

@@ -15,21 +15,36 @@ class PbfWriteSpec extends AnyFunSuite {
 
   private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
 
-  test("pbf write → read round trip is element-identical (0 diffs)") {
+  test("pbf write → read round trip is element-identical (0 diffs, directory form)") {
     val osm = PbfRead.read(spark, fixture).cache()
     val outPath = "/tmp/graft-test-roundtrip.osm.pbf"
     PbfWrite.write(spark, osm, outPath, partitions = 4)
+    // DEFAULT output is a DIRECTORY of frame-concatenable parts: header
+    // in part-00000, one part per task — no driver-side byte concat
+    val parts = new java.io.File(outPath).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == 5, "header part + 4 task parts")
     val h = PbfRead.readHeader(spark, outPath)
     assert(h.requiredFeatures.contains("OsmSchema-V0.6"))
     assert(h.optionalFeatures.contains("Sort.Type_then_ID"))
     val back = PbfRead.read(spark, outPath).cache()
     assert(back.count() == osm.count())
     assert(Normalize.diffCount(osm, back) == 0)
-    // Type_then_ID order verified within the re-read stream
-    val kinds = back.select("kind").collect().map(_.getByte(0))
-    // file frame order == partition order; decode preserves it per blob
-    val ids = PbfRead.scanFrames(spark, outPath).count(_.blobType == "OSMData")
+    val ids = parts.map(p =>
+      PbfRead.scanFrames(spark, p.getPath).count(_.blobType == "OSMData")).sum
     assert(ids >= 4, "multiple data blocks written")
+  }
+
+  test("--single-file concat form is one plain file, identical content") {
+    val osm = PbfRead.read(spark, fixture).cache()
+    val outPath = "/tmp/graft-test-roundtrip-single.osm.pbf"
+    PbfWrite.write(spark, osm, outPath, partitions = 4, singleFile = true)
+    val f = new java.io.File(outPath)
+    assert(f.isFile, "single-file mode must produce one plain file")
+    assert(!new java.io.File(outPath + ".parts").exists(), "staging dir removed")
+    assert(PbfRead.readHeader(spark, outPath).optionalFeatures
+      .contains("Sort.Type_then_ID"))
+    assert(Normalize.diffCount(osm, PbfRead.read(spark, outPath)) == 0)
   }
 
   test("full chain: pbf → apidb tables → reassemble → pbf → read ≡ original") {
