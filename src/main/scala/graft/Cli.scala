@@ -13,10 +13,12 @@ import graft.synth.Pages
   *
   *   graft.Cli import <in.osm.pbf> <tablesDir>   pbf → 10 apidb parquet tables
   *   graft.Cli export <tablesDir> <out.osm.pbf>  tables → Type_then_ID pbf
+  *     (a DIRECTORY of frame-concatenable parts by default; pass
+  *     --single-file for one concatenated .osm.pbf)
   *     [--bounding-box=l,b,r,t | --calc-bounding-box] [--source=S]
   *     [--osmosis-replication-timestamp=N]
   *     [--osmosis-replication-sequence-number=N]
-  *     [--osmosis-replication-base-url=U]
+  *     [--osmosis-replication-base-url=U] [--single-file]
   *   graft.Cli import-pgdump <copyDir> <tablesDir>  pg_dump COPY text → tables
   *   graft.Cli export-pgdump <tablesDir> <copyDir>  tables → COPY text dump
   *   graft.Cli admin <in.osm.pbf> <outDir>       admin multipolygons + covers
@@ -101,12 +103,22 @@ object Cli {
             replicationTimestamp = Some(repTs),
             replicationSequence = Some(repSeq),
             replicationBaseUrl = opts.get("osmosis-replication-base-url"))
-          PbfWrite.write(spark, Normalize.reassemble(spark, db), out, info = info)
+          PbfWrite.write(spark, Normalize.reassemble(spark, db), out, info = info,
+            singleFile = opts.contains("single-file"))
           println(s"[graft] exported $in -> $out")
         case "import-pgdump" :: in :: out :: Nil =>
           // apidb COPY-text dump dir (pg_dump of the reference's
-          // Postgres) → canonical parquet tables
-          val db = graft.norm.PgCopy.readApiDb(spark, in)
+          // Postgres) → canonical parquet tables. --users-layout=
+          // full (default) | minimal | name:type,name:type,...
+          val usersLayout = opts.getOrElse("users-layout", "full") match {
+            case "full" => graft.norm.PgCopy.usersFullLayout
+            case "minimal" => graft.norm.PgCopy.usersMinimalLayout
+            case custom => custom.split(",").toSeq.map(_.split(":") match {
+              case Array(n, t) => n -> t
+              case Array(n) => n -> "string"
+            })
+          }
+          val db = graft.norm.PgCopy.readApiDb(spark, in, usersLayout)
           for ((name, df) <- Seq(
             "nodes" -> db.nodes, "node_tags" -> db.nodeTags,
             "ways" -> db.ways, "way_tags" -> db.wayTags,

@@ -19,11 +19,36 @@ import graft.model.OsmKind
   *
   * Documented deviations (inherent to the apidb schema, not this
   * reader): tag ORDER is not representable (no sequence column — tags
-  * canonicalize sorted by (k,v)); users is modeled as (id,
-  * display_name) — for a real pg_dump users.dat with the ~20 auth
-  * columns pass its full layout via `readApiDb(..., usersLayout = ...)`
-  * (the extra columns carry no OSM data). */
+  * canonicalize sorted by (k,v)). The default `users` layout is the
+  * FULL public openstreetmap-website table (all auth columns, in
+  * physical COPY order) so a real pg_dump users.dat ingests unmodified;
+  * only (id, display_name) carry OSM data — our own dumps fill the rest
+  * with honest defaults/NULLs. A reduced dump can pass
+  * [[usersMinimalLayout]] (or any layout) via `readApiDb(...,
+  * usersLayout = ...)` / the CLI `--users-layout=` option. */
 object PgCopy {
+
+  /** Legacy/reduced users layout: just the OSM-relevant columns. */
+  val usersMinimalLayout: Seq[(String, String)] =
+    Seq("id" -> "bigint", "display_name" -> "string")
+
+  /** The full public openstreetmap-website `users` table in COPY
+    * (physical) column order — public schema, db/structure.sql. */
+  val usersFullLayout: Seq[(String, String)] = Seq(
+    "email" -> "string", "id" -> "bigint", "pass_crypt" -> "string",
+    "creation_time" -> "ts", "display_name" -> "string",
+    "data_public" -> "boolean", "description" -> "string",
+    "home_lat" -> "double", "home_lon" -> "double", "home_zoom" -> "int",
+    "pass_salt" -> "string", "email_valid" -> "boolean",
+    "new_email" -> "string", "creation_ip" -> "string",
+    "languages" -> "string", "status" -> "string",
+    "terms_agreed" -> "ts", "consider_pd" -> "boolean",
+    "auth_uid" -> "string", "preferred_editor" -> "string",
+    "terms_seen" -> "boolean", "description_format" -> "string",
+    "changesets_count" -> "int", "traces_count" -> "int",
+    "diary_entries_count" -> "int", "image_use_gravatar" -> "boolean",
+    "auth_provider" -> "string", "home_tile" -> "bigint",
+    "tou_agreed" -> "ts")
 
   /** COPY column layouts (public apidb schema; "ts" = timestamp). */
   val schemas: Map[String, Seq[(String, String)]] = Map(
@@ -47,14 +72,13 @@ object PgCopy {
     "relation_members" -> Seq("relation_id" -> "bigint",
       "member_type" -> "string", "member_id" -> "bigint",
       "member_role" -> "string", "version" -> "bigint", "sequence_id" -> "int"),
-    "users" -> Seq("id" -> "bigint", "display_name" -> "string"),
+    "users" -> usersFullLayout,
     "changesets" -> Seq("id" -> "bigint", "user_id" -> "bigint",
       "created_at" -> "ts", "min_lat" -> "int", "max_lat" -> "int",
       "min_lon" -> "int", "max_lon" -> "int", "closed_at" -> "ts",
       "num_changes" -> "int"))
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-  private val TsParse = "yyyy-MM-dd HH:mm:ss[.SSSSSS][.SSS][.S]"
 
   /** COPY-text escape for a string column (order matters: backslash
     * first). Everything stays inside whole-stage codegen. */
@@ -82,8 +106,13 @@ object PgCopy {
         (tpe match {
           case "bigint" => raw.cast("long")
           case "int" => raw.cast("int")
+          case "double" => raw.cast("double")
           case "boolean" => raw === "t"
-          case "ts" => unix_millis(to_timestamp(raw, TsParse))
+          // cast, not to_timestamp with a fixed pattern: real pg_dump
+          // trims trailing fraction zeros ('.12', '.1234', ...) and the
+          // cast accepts any fraction length (a fixed [.SSSSSS] pattern
+          // threw under ANSI mode on those rows)
+          case "ts" => unix_millis(raw.cast("timestamp"))
           case _ => raw
         }).as(name)
       }: _*)
@@ -150,8 +179,38 @@ object PgCopy {
       memberTypeName(col("member_type")).as("member_type"), col("member_id"),
       col("role").as("member_role"), col("version").cast("long"),
       col("sequence_id").cast("int")), s"$dir/relation_members", "relation_members")
-    writeTable(db.users.select(col("uid").cast("long").as("id"),
-      col("name").as("display_name")), s"$dir/users", "users")
+    // full public users layout: only (id, display_name) carry OSM data;
+    // the auth columns get honest defaults (NOT NULL columns) or NULL
+    writeTable(db.users.select(
+      lit(null).cast("string").as("email"),
+      col("uid").cast("long").as("id"),
+      lit("").as("pass_crypt"),
+      lit(0L).as("creation_time"),
+      col("name").as("display_name"),
+      lit(true).as("data_public"),
+      lit("").as("description"),
+      lit(null).cast("double").as("home_lat"),
+      lit(null).cast("double").as("home_lon"),
+      lit(null).cast("int").as("home_zoom"),
+      lit(null).cast("string").as("pass_salt"),
+      lit(false).as("email_valid"),
+      lit(null).cast("string").as("new_email"),
+      lit(null).cast("string").as("creation_ip"),
+      lit(null).cast("string").as("languages"),
+      lit("active").as("status"),
+      lit(null).cast("long").as("terms_agreed"),
+      lit(false).as("consider_pd"),
+      lit(null).cast("string").as("auth_uid"),
+      lit(null).cast("string").as("preferred_editor"),
+      lit(false).as("terms_seen"),
+      lit("markdown").as("description_format"),
+      lit(0).as("changesets_count"),
+      lit(0).as("traces_count"),
+      lit(0).as("diary_entries_count"),
+      lit(false).as("image_use_gravatar"),
+      lit(null).cast("string").as("auth_provider"),
+      lit(null).cast("long").as("home_tile"),
+      lit(null).cast("long").as("tou_agreed")), s"$dir/users", "users")
     writeTable(db.changesets.select(col("changeset_id").as("id"),
       col("uid").cast("long").as("user_id"),
       col("created_at_ms").as("created_at"),

@@ -31,19 +31,46 @@ class PgCopySpec extends AnyFunSuite {
   }
 
   test("pg_dump-shaped COPY content parses: \\N nulls, escapes, terminator") {
+    // timestamps cover every fraction length pg_dump emits — it TRIMS
+    // trailing zeros, so .12 / .1234 / .12345 are all real-world rows
     val content =
       "101\t-190512345\t-1699254321\t99\tt\t2023-06-12 20:21:53.123456\t123456\t2\n" +
       "102\t0\t0\t\\N\tf\t2023-06-12 20:21:53\t\\N\t1\n" +
+      "103\t1\t1\t\\N\tt\t2023-06-12 20:21:53.12\t\\N\t1\n" +
+      "104\t1\t1\t\\N\tt\t2023-06-12 20:21:53.1234\t\\N\t1\n" +
+      "105\t1\t1\t\\N\tt\t2023-06-12 20:21:53.12345\t\\N\t1\n" +
       "\\.\n"
     val p = "/tmp/graft-test-pgcopy-raw.dat"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p), content)
     val rows = PgCopy.readTable(spark, p, "nodes").orderBy("node_id").collect()
-    assert(rows.length == 2)
+    assert(rows.length == 5)
     assert(rows(0).getLong(0) == 101L && rows(0).getInt(1) == -190512345)
     assert(rows(0).getBoolean(4) && !rows(1).getBoolean(4))
     assert(rows(0).getLong(5) == 1686601313123L) // UTC millis incl fraction
     assert(rows(1).getLong(5) == 1686601313000L) // fraction-less timestamp
+    assert(rows(2).getLong(5) == 1686601313120L) // 2-digit fraction
+    assert(rows(3).getLong(5) == 1686601313123L) // 4-digit fraction
+    assert(rows(4).getLong(5) == 1686601313123L) // 5-digit fraction
     assert(rows(1).isNullAt(3) && rows(1).isNullAt(6)) // \N → null
+  }
+
+  test("a real-shaped FULL users.dat ingests with the DEFAULT layout") {
+    // one row per the public openstreetmap-website users table, all 29
+    // columns in physical COPY order — must need no layout override
+    val fields = Seq(
+      "carol@example.org", "56", "secrethash", "2019-03-04 05:06:07.89",
+      "carol", "t", "mapper since 2019", "12.5", "-33.25", "3",
+      "\\N", "t", "\\N", "127.0.0.1", "en", "active", "\\N", "f",
+      "\\N", "\\N", "t", "markdown", "7", "0", "0", "f", "\\N", "123",
+      "\\N")
+    assert(fields.length == PgCopy.usersFullLayout.length)
+    val p = "/tmp/graft-test-pgcopy-users-full.dat"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      fields.mkString("\t") + "\n\\.\n")
+    val row = PgCopy.readTable(spark, p, "users")
+      .select("id", "display_name", "home_lat", "changesets_count").head()
+    assert(row.getLong(0) == 56L && row.getString(1) == "carol")
+    assert(row.getDouble(2) == 12.5 && row.getInt(3) == 7)
   }
 
   test("octal and hex escapes decode per the COPY spec") {
