@@ -18,7 +18,11 @@ object MultimodalQueries {
     QueryDef(
       "q_multimodal",
       (s, _) => {
+        // materialize once: the feature and frame digests both consume
+        // the media table, and image rows pay a real PNG encode each —
+        // without this the encode map runs twice
         val media = Multimodal.mediaFromPages(s, Pages.generate(s, 20000))
+          .localCheckpoint()
         val featDigest = Multimodal.extractFeatures(media).toDF()
           .select(col("kind"),
             xxhash64(col("mediaId"), col("dim"),

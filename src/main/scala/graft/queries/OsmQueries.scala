@@ -13,13 +13,27 @@ object OsmQueries {
 
   private val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
 
+  /** The fixture decode, once per session: every gate query here (and
+    * diffCount inside them) consumes the stream 2-3×, so the
+    * materialized form saves repeated full decodes without weakening
+    * the gates (PbfReadSpec pins the decode itself). Keyed by session —
+    * localCheckpoint blocks die with the SparkContext. */
+  private lazy val fixtureCached =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.Dataset[graft.model.OsmEntity]]()
+
+  private def osmFixture(s: org.apache.spark.sql.SparkSession) =
+    fixtureCached.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}",
+      _ => PbfRead.read(s, fixture).localCheckpoint())
+
   val defs: Seq[QueryDef] = Seq(
 
     // master property: pbf → apidb tables → reassemble ≡ original
     QueryDef(
       "q_osm_roundtrip",
       (s, _) => {
-        val osm = PbfRead.read(s, fixture)
+        val osm = osmFixture(s)
         val back = Normalize.reassemble(s, Normalize.demux(osm))
         val diffs = Normalize.diffCount(osm, back)
         val n = osm.count()
@@ -36,7 +50,7 @@ object OsmQueries {
       "q_pgcopy_roundtrip",
       (s, _) => {
         import s.implicits._
-        val osm = PbfRead.read(s, fixture)
+        val osm = osmFixture(s)
         val dir = "/tmp/graft-pgcopy-gate"
         graft.norm.PgCopy.writeApiDb(Normalize.demux(osm), dir)
         val back = Normalize.reassemble(s, graft.norm.PgCopy.readApiDb(s, dir))
@@ -54,7 +68,7 @@ object OsmQueries {
       "q_osm_counts",
       (s, _) => {
         import s.implicits._
-        PbfRead.read(s, fixture).groupBy("kind").count().orderBy("kind")
+        osmFixture(s).groupBy("kind").count().orderBy("kind")
       },
       Some("""SELECT * FROM (VALUES
              | (CAST(0 AS TINYINT), CAST(41861 AS BIGINT)),
@@ -66,7 +80,7 @@ object OsmQueries {
     QueryDef(
       "q_osm_bbox",
       (s, _) =>
-        PbfRead.read(s, fixture).toDF()
+        osmFixture(s).toDF()
           .filter(col("kind") === 0 && col("visible"))
           .agg(min("lon7").as("left7"), min("lat7").as("bottom7"),
             max("lon7").as("right7"), max("lat7").as("top7")),

@@ -88,6 +88,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "centre index must broadcast — it is small by construction")
   }
 
+  test("ANN embedding plan stays a bucket equi-join (no cartesian/nested-loop)") {
+    val plan = SparkEntry.queries("q_embed_ann_lsh")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN must never degrade to an all-pairs join:\n$plan")
+  }
+
   test("as-of and range joins never degrade to nested-loop/cartesian plans") {
     for (q <- Seq("q_asof_join", "q_range_join")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
