@@ -89,11 +89,19 @@ object SpatialJoin {
       .filter(col("full") || G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
         col("corner_inside"), col("edges")))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    val fallbackHits = cand.filter(col("fallback"))
-      .join(polygons, "relation_id")
-      .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
-      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    mainHits.union(fallbackHits)
+    // the union's second branch costs a FULL extra source pass — skip
+    // it when the cover has no fallback cells at all (a property of the
+    // tiny polygon side, one cheap action on the checkpointed cover;
+    // typical covers at detail level 17 have none)
+    val hasFallback = !coverDf.filter(col("fallback")).isEmpty
+    if (!hasFallback) mainHits
+    else {
+      val fallbackHits = cand.filter(col("fallback"))
+        .join(polygons, "relation_id")
+        .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
+        .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+      mainHits.union(fallbackHits)
+    }
   }
 
   /** J6: nearest admin centre by cell probing. Distance is exact
