@@ -89,10 +89,13 @@ object SpatialJoin {
       .filter(col("full") || G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
         col("corner_inside"), col("edges")))
       .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
-    // the union's second branch costs a FULL extra source pass — skip
-    // it when the cover has no fallback cells at all (a property of the
-    // tiny polygon side, one cheap action on the checkpointed cover;
-    // typical covers at detail level 17 have none)
+    // skip the union's second branch when the cover has no fallback
+    // cells at all (a property of the tiny polygon side, one cheap
+    // action on the checkpointed cover; typical covers at detail level
+    // 17 have none). Statically this halves the source scans; at
+    // runtime AQE's empty-relation propagation already collapsed the
+    // empty-broadcast branch (measured: no throughput delta), so the
+    // static skip is for plan clarity and non-AQE sessions.
     val hasFallback = !coverDf.filter(col("fallback")).isEmpty
     if (!hasFallback) mainHits
     else {

@@ -150,9 +150,19 @@ object PgCopy {
       .when(c === OsmKind.Way, "Way")
       .otherwise("Relation")
 
-  /** Canonical tables → COPY text dump dir (one subdir per table). */
+  /** Canonical tables → COPY text dump dir (one subdir per table).
+    * The ten table writes are independent Spark jobs submitted
+    * CONCURRENTLY (job submission is thread-safe): on a big cluster
+    * small dimension tables no longer serialize behind the node table,
+    * and locally the per-job scheduling gaps overlap. */
   def writeApiDb(db: Normalize.ApiDb, dir: String): Unit = {
-    writeTable(db.nodes.select(col("node_id"),
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def enqueue(df: => DataFrame, path: String, table: String): Unit =
+      jobs += (() => writeTable(df, path, table))
+    enqueue(db.nodes.select(col("node_id"),
       col("lat7").cast("int").as("latitude"),
       col("lon7").cast("int").as("longitude"),
       col("changeset_id"), col("visible"),
@@ -160,28 +170,28 @@ object PgCopy {
       when(col("lat7").isNotNull && col("lon7").isNotNull,
         quadTile(col("lat7"), col("lon7"))).as("tile"),
       col("version").cast("long")), s"$dir/nodes", "nodes")
-    writeTable(db.nodeTags.select(col("node_id"), col("version").cast("long"),
+    enqueue(db.nodeTags.select(col("node_id"), col("version").cast("long"),
       col("k"), col("v")), s"$dir/node_tags", "node_tags")
     def meta(df: DataFrame, idCol: String) = df.select(col(idCol),
       col("changeset_id"), col("ts_millis").as("timestamp"),
       col("version").cast("long"), col("visible"),
       lit(null).cast("int").as("redaction_id"))
-    writeTable(meta(db.ways, "way_id"), s"$dir/ways", "ways")
-    writeTable(db.wayTags.select(col("way_id"), col("k"), col("v"),
+    enqueue(meta(db.ways, "way_id"), s"$dir/ways", "ways")
+    enqueue(db.wayTags.select(col("way_id"), col("k"), col("v"),
       col("version").cast("long")), s"$dir/way_tags", "way_tags")
-    writeTable(db.wayNodes.select(col("way_id"), col("node_id"),
+    enqueue(db.wayNodes.select(col("way_id"), col("node_id"),
       col("version").cast("long"), col("sequence_id").cast("long")),
       s"$dir/way_nodes", "way_nodes")
-    writeTable(meta(db.relations, "relation_id"), s"$dir/relations", "relations")
-    writeTable(db.relationTags.select(col("relation_id"), col("k"), col("v"),
+    enqueue(meta(db.relations, "relation_id"), s"$dir/relations", "relations")
+    enqueue(db.relationTags.select(col("relation_id"), col("k"), col("v"),
       col("version").cast("long")), s"$dir/relation_tags", "relation_tags")
-    writeTable(db.relationMembers.select(col("relation_id"),
+    enqueue(db.relationMembers.select(col("relation_id"),
       memberTypeName(col("member_type")).as("member_type"), col("member_id"),
       col("role").as("member_role"), col("version").cast("long"),
       col("sequence_id").cast("int")), s"$dir/relation_members", "relation_members")
     // full public users layout: only (id, display_name) carry OSM data;
     // the auth columns get honest defaults (NOT NULL columns) or NULL
-    writeTable(db.users.select(
+    enqueue(db.users.select(
       lit(null).cast("string").as("email"),
       col("uid").cast("long").as("id"),
       lit("").as("pass_crypt"),
@@ -211,13 +221,14 @@ object PgCopy {
       lit(null).cast("string").as("auth_provider"),
       lit(null).cast("long").as("home_tile"),
       lit(null).cast("long").as("tou_agreed")), s"$dir/users", "users")
-    writeTable(db.changesets.select(col("changeset_id").as("id"),
+    enqueue(db.changesets.select(col("changeset_id").as("id"),
       col("uid").cast("long").as("user_id"),
       col("created_at_ms").as("created_at"),
       col("min_lat7").cast("int").as("min_lat"), col("max_lat7").cast("int").as("max_lat"),
       col("min_lon7").cast("int").as("min_lon"), col("max_lon7").cast("int").as("max_lon"),
       col("closed_at_ms").as("closed_at"),
       col("num_changes").cast("int")), s"$dir/changesets", "changesets")
+    Await.result(Future.sequence(jobs.toSeq.map(j => Future(j()))), Duration.Inf)
   }
 
   /** COPY text dump dir → canonical tables. apidb stores the author on

@@ -53,7 +53,10 @@ object OsmQueries {
         val osm = osmFixture(s)
         val dir = "/tmp/graft-pgcopy-gate"
         graft.norm.PgCopy.writeApiDb(Normalize.demux(osm), dir)
+        // materialize: consumed by both the diff and the row count —
+        // without this the COPY parse + reassembly joins run twice
         val back = Normalize.reassemble(s, graft.norm.PgCopy.readApiDb(s, dir))
+          .localCheckpoint()
         def canonTags(ds: org.apache.spark.sql.Dataset[graft.model.OsmEntity]) =
           ds.map(e => e.copy(tags = e.tags.sortBy(t => (t.k, t.v))))
         val diffs = Normalize.diffCount(canonTags(osm), canonTags(back))

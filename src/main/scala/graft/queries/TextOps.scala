@@ -246,15 +246,26 @@ object TextOps {
           .distinct().withColumn("comp", col("node")))
         var converged = false
         var round = 0
+        val schema = labels.schema
         while (!converged && round < 50) {
-          val next = truncate(
-            edgesM.join(labels, edgesM("a") === labels("node"))
-              .select(col("b").as("node"), col("comp"))
-              .union(labels)
-              .groupBy("node").agg(min(col("comp")).as("comp")))
-          converged = next.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(col("comp") =!= col("old")).isEmpty
-          labels = next
+          // the self row is tagged so ONE aggregation yields both the
+          // new label and the old one; convergence is counted by an
+          // accumulator during the materializing count — one job per
+          // round (round 2 paid an extra join job per round for it)
+          val step = edgesM.join(labels, edgesM("a") === labels("node"))
+            .select(col("b").as("node"), col("comp"), lit(false).as("self"))
+            .union(labels.withColumn("self", lit(true)))
+            .groupBy("node").agg(min(col("comp")).as("comp"),
+              min(when(col("self"), col("comp"))).as("old"))
+          val changed = s.sparkContext.longAccumulator("cc-changed")
+          val rdd = step.rdd.map { r =>
+            if (r.getLong(1) != r.getLong(2)) changed.add(1L)
+            org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))
+          }
+          rdd.localCheckpoint()
+          rdd.count()
+          labels = s.createDataFrame(rdd, schema)
+          converged = changed.value == 0L
           round += 1
         }
         // a chain with component diameter > the round cap would emit
