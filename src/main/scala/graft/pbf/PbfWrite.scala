@@ -246,6 +246,9 @@ object PbfWrite {
     import spark.implicits._
     val nPart = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism
+    // part-%05d: name order IS frame order for directory readers, so
+    // the width must not roll over (a planet at 64 MB parts is ~10^3)
+    require(nPart <= 99998, s"at most 99998 partitions, got $nPart")
     val sorted = ds
       .repartitionByRange(nPart, $"kind", $"id", $"version")
       .sortWithinPartitions($"kind", $"id", $"version")
