@@ -35,12 +35,12 @@ object Bench {
     s
   }
 
-  /** One timed spatial-join run: returns (pagesPerSec, tileChecksum).
-    * Polygon-side prep (assembly + cover) happens before the timed
-    * window — it is amortized across page batches at scale; the metric
-    * is page-side throughput. A warm-up slice triggers JIT + codegen so
-    * the window measures steady state. */
-  private def spatialRun(spark: SparkSession, nPages: Long): (Double, Long) = {
+  /** One timed spatial-join run: returns (pagesPerSec, tileChecksum,
+    * scanFloorPagesPerSec). Polygon-side prep (assembly + cover)
+    * happens before the timed window — it is amortized across page
+    * batches at scale; the metric is page-side throughput. A warm-up
+    * slice triggers JIT + codegen so the window measures steady state. */
+  private def spatialRun(spark: SparkSession, nPages: Long): (Double, Long, Double) = {
     val areas = AdminAreas.build(spark, PbfRead.read(spark, fixture)).cache()
     areas.count()
     val prep = SpatialJoin.prepare(spark, areas)
@@ -81,21 +81,31 @@ object Bench {
       p += 1
     }
     val secs = (System.nanoTime() - t0) / 1e9
+    // the IO/decode FLOOR at this core count: one pass that only scans
+    // the url+text columns (what the pipeline reads) with no geoparse,
+    // join, or agg — "how close is the engine to just reading the data"
+    val tf = System.nanoTime()
+    spark.read.parquet(pagesPath)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).head()
+    val floorPps = nPages / ((System.nanoTime() - tf) / 1e9)
     areas.unpersist()
-    (passes * nPages / secs, chk)
+    (passes * nPages / secs, chk, floorPps)
   }
 
   /** Child-JVM entry: measure at `cores`, print a parseable line. */
   private def childMain(cores: Int, nPages: Long): Unit = {
     val spark = session(cores)
     try {
-      val (pps, chk) = spatialRun(spark, nPages)
-      println(f"GRAFT_BENCH_RESULT $pps%.1f $chk")
+      val (pps, chk, floorPps) = spatialRun(spark, nPages)
+      println(f"GRAFT_BENCH_RESULT $pps%.1f $chk $floorPps%.1f")
     } finally spark.stop()
   }
 
-  /** Spawn a pinned child JVM running childMain. */
-  private def measurePinned(cores: Int, nPages: Long): (Double, Long) = {
+  /** Spawn a pinned child JVM running childMain.
+    * Returns (pagesPerSec, checksum, scanFloorPagesPerSec). */
+  private def measurePinned(cores: Int, nPages: Long): (Double, Long, Double) = {
     import scala.jdk.CollectionConverters._
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -116,10 +126,11 @@ object Bench {
     out.linesIterator.find(_.startsWith("GRAFT_BENCH_RESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        (parts(1).toDouble, parts(2).toLong)
+        (parts(1).toDouble, parts(2).toLong,
+          if (parts.length > 3) parts(3).toDouble else -1.0)
       case None =>
         System.err.println(s"[bench] child at $cores cores failed:\n$out")
-        (-1.0, 0L)
+        (-1.0, 0L, -1.0)
     }
   }
 
@@ -148,7 +159,7 @@ object Bench {
     // estimate unbiased under the residual ratio noise, and all three
     // ratios are reported so the spread is visible. Transparency rungs
     // run once.
-    val critPairs: Seq[((Double, Long), (Double, Long))] =
+    val critPairs: Seq[((Double, Long, Double), (Double, Long, Double))] =
       if (cpus >= 4) (1 to 3).map(_ => (measurePinned(1, nPages), measurePinned(4, nPages)))
       else Seq.empty
     val pairRatios = critPairs.collect {
@@ -161,7 +172,7 @@ object Bench {
           .apply((critPairs.size - 1) / 2))
       else None
     val extra = Seq(16, 32).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))
-    val ladder: Seq[(Int, (Double, Long))] =
+    val ladder: Seq[(Int, (Double, Long, Double))] =
       (medianPairOpt match {
         case Some((l, h)) => Seq(1 -> l, 4 -> h)
         case None => Seq(1).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))
@@ -197,14 +208,15 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":4,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"efficiency_pairs":$pairsJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
-        ladder.map { case (c, (pps, _)) => s"""{"cores":$c,"pages_per_sec":${f"$pps%.1f"}}""" }
+        ladder.map { case (c, (pps, _, fl)) =>
+          s"""{"cores":$c,"pages_per_sec":${f"$pps%.1f"},"scan_floor_pages_per_sec":${f"$fl%.1f"}}""" }
           .mkString("[", ",", "]")}}}""")
 
     val measured =
       s"""|| metric | value | config |
          ||---|---|---|
-         ${ladder.map { case (c, (pps, _)) =>
-            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned |" }
+         ${ladder.map { case (c, (pps, _, fl)) =>
+            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned; scan-only floor ${f"$fl%.0f"}/s (${f"${100.0 * pps / fl}%.0f"}% of just reading url+text) |" }
            .mkString("\n")}
          || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs, MEDIAN of 3 paired ratios ${pairsJson} |
          || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |""".stripMargin

@@ -38,7 +38,10 @@ object SpatialJoin {
       .select(col("url"), G.packed_lat7(col("p")).as("lat7"),
         G.packed_lon7(col("p")).as("lon7"))
 
-  /** J5: containment join. Returns (url, lat7, lon7, relation_id).
+  /** J5: containment join. Returns the points' own columns (at minimum
+    * url, lat7, lon7 — any extra columns such as an event timestamp
+    * ride through, enabling the streaming window pipeline; they must
+    * not collide with the cover column names) plus `relation_id`.
     * Refine is LOCALIZED (GeomCell): boundary cover rows carry their
     * clipped edges + SW-corner parity, so per-candidate cost is
     * O(edges-in-cell) — independent of polygon size — and the polygon
@@ -47,6 +50,7 @@ object SpatialJoin {
   def containmentJoin(spark: SparkSession, points: DataFrame,
       cover: Dataset[CoverRowEx], polygons: DataFrame, p: Params): DataFrame = {
     import spark.implicits._
+    val outCols = points.columns.toSeq.map(col) :+ col("relation_id")
     val coverDf = cover.toDF("relation_id", "cell", "full", "corner_inside",
       "fallback", "edges")
     // distinct cover levels: tiny (≤ maxLevel+1 values), driver-collected
@@ -88,7 +92,7 @@ object SpatialJoin {
     val mainHits = cand.filter(!col("fallback"))
       .filter(col("full") || G.point_in_cell(col("lon7"), col("lat7"), col("cell"),
         col("corner_inside"), col("edges")))
-      .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+      .select(outCols: _*)
     // skip the union's second branch when the cover has no fallback
     // cells at all (a property of the tiny polygon side, one cheap
     // action on the checkpointed cover; typical covers at detail level
@@ -102,7 +106,7 @@ object SpatialJoin {
       val fallbackHits = cand.filter(col("fallback"))
         .join(polygons, "relation_id")
         .filter(G.point_in_rings(col("lon7"), col("lat7"), col("rings")))
-        .select(col("url"), col("lat7"), col("lon7"), col("relation_id"))
+        .select(outCols: _*)
       mainHits.union(fallbackHits)
     }
   }
