@@ -63,7 +63,7 @@ object Geo {
   private lazy val preparedCached =
     new java.util.concurrent.ConcurrentHashMap[String, SpatialJoin.Prepared]()
 
-  private def prepared(s: SparkSession): SpatialJoin.Prepared =
+  private[queries] def prepared(s: SparkSession): SpatialJoin.Prepared =
     // keyed by session: Prepared holds localCheckpointed Datasets whose
     // blocks die with the SparkContext (unlike adminAreasCached, which
     // stores plain collected rows)

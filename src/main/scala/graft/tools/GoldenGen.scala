@@ -41,6 +41,8 @@ object GoldenGen {
     println(values("q_admin_area2", Seq("relation_id" -> "BIGINT", "admin_level" -> "INTEGER", "area2" -> "VARCHAR")))
     println("=== geoparseSql ===")
     println(values("q_geoparse", Seq("n" -> "BIGINT", "h" -> "BIGINT", "sum_lat7" -> "BIGINT", "sum_lon7" -> "BIGINT")))
+    println("=== windowTilesSql ===")
+    println(values("q_window_tiles", Seq("n" -> "BIGINT", "h" -> "BIGINT", "sum_pages" -> "BIGINT")))
     spark.stop()
   }
 }
