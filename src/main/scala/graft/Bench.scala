@@ -81,14 +81,12 @@ object Bench {
       p += 1
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    // the IO/decode FLOOR at this core count: one pass that only scans
-    // the url+text columns (what the pipeline reads) with no geoparse,
-    // join, or agg — "how close is the engine to just reading the data"
+    // the IO/decode FLOOR at this core count: one pass that scans
+    // exactly the columns the pipeline reads (url AND text) with no
+    // geoparse, join, or agg — "how close to just reading the data"
     val tf = System.nanoTime()
     spark.read.parquet(pagesPath)
-      .select(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("text")))).head()
+      .select(sum(length(col("text")) + length(col("url")))).head()
     val floorPps = nPages / ((System.nanoTime() - tf) / 1e9)
     areas.unpersist()
     (passes * nPages / secs, chk, floorPps)
@@ -163,7 +161,7 @@ object Bench {
       if (cpus >= 4) (1 to 3).map(_ => (measurePinned(1, nPages), measurePinned(4, nPages)))
       else Seq.empty
     val pairRatios = critPairs.collect {
-      case (l, h) if l._1 > 0 => h._1 / (4.0 * l._1) }
+      case (l, h) if l._1 > 0 && h._1 > 0 => h._1 / (4.0 * l._1) }
     // the pair whose ratio is the median: lo/hi/efficiency all come
     // from the SAME run, so the reported numbers are mutually coherent
     val medianPairOpt =
@@ -216,7 +214,7 @@ object Bench {
       s"""|| metric | value | config |
          ||---|---|---|
          ${ladder.map { case (c, (pps, _, fl)) =>
-            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned; scan-only floor ${f"$fl%.0f"}/s (${f"${100.0 * pps / fl}%.0f"}% of just reading url+text) |" }
+            s"|| pages joined+tiled/sec @ ${c}c | ${f"$pps%.0f"} | local[$c], pinned${if (fl > 0) f"; scan-only floor $fl%.0f/s (${100.0 * pps / fl}%.0f%% of just reading url+text)" else ""} |" }
            .mkString("\n")}
          || scaling efficiency N=1 → 4N=4 (target ≥ 0.8) | ${efficiencyOpt.map(e => f"$e%.3f").getOrElse("not measured (needs 1- and 4-core rungs)")} | pinned child JVMs, MEDIAN of 3 paired ratios ${pairsJson} |
          || outputs byte-identical across ALL sizes | $identical | tile-table xxhash64 checksum |""".stripMargin

@@ -228,7 +228,12 @@ object PgCopy {
       col("min_lon7").cast("int").as("min_lon"), col("max_lon7").cast("int").as("max_lon"),
       col("closed_at_ms").as("closed_at"),
       col("num_changes").cast("int")), s"$dir/changesets", "changesets")
-    Await.result(Future.sequence(jobs.toSeq.map(j => Future(j()))), Duration.Inf)
+    // await EVERY job before returning (or rethrowing): a fail-fast
+    // unwind would leave the other writes still running in background
+    // threads, racing any caller retry against this same dir
+    val results = jobs.toSeq.map(j => Future(j()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
   }
 
   /** COPY text dump dir → canonical tables. apidb stores the author on

@@ -193,10 +193,44 @@ object PbfRead {
     out.toSeq
   }
 
+  /** The split search assumes BlobHeaders serialize the `type` field
+    * FIRST (true of every known writer, including this one; protobuf
+    * does not mandate field order). Probe the first data frame's raw
+    * header bytes: if they do not lead with the type field, the caller
+    * must use the sequential index (which parses any field order)
+    * rather than silently missing frames. */
+  private[pbf] def typeFirstHeaders(spark: SparkSession, path: String): Boolean = {
+    val in = new DataInputStream(hadoopOpen(spark, path))
+    try {
+      var k = 0
+      while (k < 4) { // the first data frame is frame 0 or 1 in practice
+        val headerLen =
+          try in.readInt()
+          catch { case _: java.io.EOFException => return true }
+        val hb = new Array[Byte](headerLen)
+        in.readFully(hb)
+        parseBlobHeader(hb) match {
+          case Some((t, dl)) =>
+            if (t == "OSMData")
+              return hb.length >= DataSig.length &&
+                DataSig.indices.forall(i => hb(i) == DataSig(i))
+            in.skipBytes(dl)
+          case None => return false
+        }
+        k += 1
+      }
+      true
+    } finally in.close()
+  }
+
   /** Distributed frame index (SURVEY A1 at planet scale): byte-range
     * splits scanned in parallel tasks — the driver never walks ~9M
     * frame headers itself. Emits OSMData pointers only (the OSMHeader
-    * frame carries no data-signature and is probed by [[readHeader]]). */
+    * frame carries no data-signature and is probed by [[readHeader]]).
+    * Callers must gate on [[typeFirstHeaders]]; a pathological file
+    * MIXING type-first and non-type-first headers mid-file could still
+    * defeat the per-split signature search (no real writer does this —
+    * the sequential index remains the escape hatch). */
   def scanFramesDistributed(spark: SparkSession, path: String,
       splitBytes: Long = 128L << 20): Dataset[BlobPtr] = {
     import spark.implicits._
@@ -564,8 +598,10 @@ object PbfRead {
       s"unsupported required features: ${header.requiredFeatures}")
     val files = partFiles(spark, path)
     // small files: cheap driver walk; planet-sized: distributed index
+    // (guarded by the type-first header probe — see typeFirstHeaders)
     val frames: Dataset[BlobPtr] = files.map { case (f, len) =>
-      if (len >= DistributedScanThreshold) scanFramesDistributed(spark, f)
+      if (len >= DistributedScanThreshold && typeFirstHeaders(spark, f))
+        scanFramesDistributed(spark, f)
       else scanFrames(spark, f).filter(_.blobType == "OSMData").toDS()
     }.reduce(_ union _)
     val hconf = new org.apache.spark.util.SerializableConfiguration(

@@ -260,7 +260,7 @@ object PbfWrite {
     val bc = spark.sparkContext.broadcast(hconfSer)
     val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer.value)
     fs0.delete(new Path(tmp), true)
-    if (singleFile) fs0.delete(new Path(path), false)
+    if (singleFile) fs0.delete(new Path(path), true) // may be a prior directory-form output
     fs0.mkdirs(new Path(tmp))
     val stats = sorted.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()

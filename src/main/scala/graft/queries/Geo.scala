@@ -59,17 +59,14 @@ object Geo {
   /** The polygon-side prep (cover + centres) is a property of the admin
     * dataset — build once per session, reuse across page batches
     * (exactly the intended production shape: q_page_join/knn/tiles each
-    * rebuilt it in round 1). */
+    * rebuilt it in round 1). Session-keyed: Prepared holds
+    * localCheckpointed Datasets whose blocks die with the SparkContext
+    * (unlike adminAreasCached, which stores plain collected rows). */
   private lazy val preparedCached =
-    new java.util.concurrent.ConcurrentHashMap[String, SpatialJoin.Prepared]()
+    new graft.util.SessionCache[SpatialJoin.Prepared]
 
   private[queries] def prepared(s: SparkSession): SpatialJoin.Prepared =
-    // keyed by session: Prepared holds localCheckpointed Datasets whose
-    // blocks die with the SparkContext (unlike adminAreasCached, which
-    // stores plain collected rows)
-    preparedCached.computeIfAbsent(
-      s"niue:${s.sparkContext.applicationId}:${s.sparkContext.startTime}",
-      _ => SpatialJoin.prepare(s, areas(s), SpatialJoin.Params()))
+    preparedCached.get(s)(SpatialJoin.prepare(s, areas(s), SpatialJoin.Params()))
 
   val defs: Seq[QueryDef] = Seq(
 

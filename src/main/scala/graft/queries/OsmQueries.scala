@@ -16,16 +16,12 @@ object OsmQueries {
   /** The fixture decode, once per session: every gate query here (and
     * diffCount inside them) consumes the stream 2-3×, so the
     * materialized form saves repeated full decodes without weakening
-    * the gates (PbfReadSpec pins the decode itself). Keyed by session —
-    * localCheckpoint blocks die with the SparkContext. */
+    * the gates (PbfReadSpec pins the decode itself). */
   private lazy val fixtureCached =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.Dataset[graft.model.OsmEntity]]()
+    new graft.util.SessionCache[org.apache.spark.sql.Dataset[graft.model.OsmEntity]]
 
   private def osmFixture(s: org.apache.spark.sql.SparkSession) =
-    fixtureCached.computeIfAbsent(
-      s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}",
-      _ => PbfRead.read(s, fixture).localCheckpoint())
+    fixtureCached.get(s)(PbfRead.read(s, fixture).localCheckpoint())
 
   val defs: Seq[QueryDef] = Seq(
 

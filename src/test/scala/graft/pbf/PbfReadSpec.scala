@@ -111,6 +111,35 @@ class PbfReadSpec extends AnyFunSuite {
     } finally new java.io.File(path).delete()
   }
 
+  test("non-type-first BlobHeaders are detected and routed off the signature search") {
+    // legal protobuf, unusual field order: datasize BEFORE type — the
+    // split signature cannot find it, so the probe must say false (the
+    // sequential index, which parses any order, still reads it)
+    def file(swapped: Boolean): String = {
+      val payload = Array.fill[Byte](64)(7)
+      val blob = new PbfWrite.Out
+      blob.bytes(1, payload) // raw blob
+      val bb = blob.toArray
+      val hdr = new PbfWrite.Out
+      if (swapped) { hdr.int(3, bb.length); hdr.str(1, "OSMData") }
+      else { hdr.str(1, "OSMData"); hdr.int(3, bb.length) }
+      val hb = hdr.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte]((hb.length >>> 24).toByte, (hb.length >>> 16).toByte,
+        (hb.length >>> 8).toByte, hb.length.toByte))
+      out.write(hb); out.write(bb)
+      val p = s"/tmp/graft-test-fieldorder-$swapped.pbf"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+      p
+    }
+    assert(PbfRead.typeFirstHeaders(spark, file(swapped = false)))
+    val odd = file(swapped = true)
+    assert(!PbfRead.typeFirstHeaders(spark, odd))
+    // the sequential index parses it regardless of field order
+    val fr = PbfRead.scanFrames(spark, odd)
+    assert(fr.map(f => (f.blobType, f.dataLen)) == Seq(("OSMData", 66)))
+  }
+
   test("granularity != 100 with negative coords floors (agrees with the header bbox path)") {
     // raw lat -7 at granularity 1000 with lat_offset -50 → -7050 nanodeg
     // → floor(-7050/100) = -71 (truncating / would give -70); raw lon -3
