@@ -95,8 +95,12 @@ object PbfRead {
     } finally in.close()
   }
 
-  /** Files at least this large index in parallel tasks. */
-  val DistributedScanThreshold: Long = 256L << 20
+  /** Files at least this large index in parallel tasks (system property
+    * override exists so specs can exercise the distributed path on
+    * small files). */
+  def DistributedScanThreshold: Long =
+    sys.props.get("graft.pbf.distScanThreshold").map(_.toLong)
+      .getOrElse(256L << 20)
 
   // PBF frames carry no sync marker, but every OSMData BlobHeader
   // starts with the field-1 tag + length + literal type: a 9-byte

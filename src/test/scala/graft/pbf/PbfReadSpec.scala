@@ -111,6 +111,48 @@ class PbfReadSpec extends AnyFunSuite {
     } finally new java.io.File(path).delete()
   }
 
+  test("read() through the DISTRIBUTED index path decodes end-to-end") {
+    // a valid multi-frame file: one incompressible 8k-node dense block
+    // repeated (ids repeat across frames — read() does not dedupe, so
+    // the expected count is exact), indexed by the split-search path
+    // via the threshold override and fully decoded
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 8000).map { i =>
+      graft.model.OsmEntity(OsmKind.Node, i.toLong, 1, visible = true,
+        Some(rnd.nextLong(1800000001L) - 900000000L),
+        Some(rnd.nextLong(3600000001L) - 1800000000L),
+        1686600000000L, 1L, 1, "u", Nil, Nil, Nil)
+    }
+    val block = PbfWrite.encodeBlock(nodes) // a complete OSMData frame
+    val headerBlock = new PbfWrite.Out
+    headerBlock.str(4, "OsmSchema-V0.6")
+    headerBlock.str(4, "DenseNodes")
+    val path = "/tmp/graft-test-distread.osm.pbf"
+    val os = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20)
+    os.write(PbfWrite.frame("OSMHeader", headerBlock.toArray))
+    val nFrames = 40
+    (0 until nFrames).foreach(_ => os.write(block))
+    os.close()
+    val prev = sys.props.get("graft.pbf.distScanThreshold")
+    sys.props("graft.pbf.distScanThreshold") = "1048576"
+    try {
+      assert(new java.io.File(path).length() > 2L * 1048576,
+        "file must be over the (overridden) distributed threshold")
+      val ds = PbfRead.read(spark, path)
+      assert(ds.count() == nFrames.toLong * 8000)
+      // spot-check content decoded correctly through the parallel index
+      val one = ds.filter($"id" === 4242L).collect()
+      assert(one.length == nFrames && one.forall(_.lat7 == nodes(4242).lat7))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.pbf.distScanThreshold") = v
+        case None => sys.props.remove("graft.pbf.distScanThreshold")
+      }
+      new java.io.File(path).delete()
+    }
+  }
+
   test("non-type-first BlobHeaders are detected and routed off the signature search") {
     // legal protobuf, unusual field order: datasize BEFORE type — the
     // split signature cannot find it, so the probe must say false (the
