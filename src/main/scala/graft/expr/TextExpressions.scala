@@ -93,6 +93,39 @@ object TextRT {
     }
     new GenericArrayData(out)
   }
+
+  /** 16-bit SimHash over whitespace tokens of an (already lowercased)
+    * text in ONE per-row loop: per token th = polyHash, each bit b gets
+    * +1 if ((th>>b)&1)==1 else −1, output bit b set iff its count > 0.
+    * ≡ the explode(tokens)×explode(16 bits)→groupBy formulation (and
+    * the DuckDB oracle) but with zero fan-out and zero shuffle; split
+    * semantics are Spark's split(text, " ") = Java split(" ", -1)
+    * (trailing empty tokens kept, "" yields one empty token → hash 7). */
+  def simhash16(lowered: UTF8String): Long = {
+    val toks = lowered.toString.split(" ", -1)
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      var h = Seed
+      var ci = 0
+      while (ci < tok.length) {
+        val cp = tok.codePointAt(ci)
+        h = (h * 31 + cp) % P
+        ci += Character.charCount(cp)
+      }
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
 }
 
 /** str_poly_hash(text) → BIGINT in [0, 1e9+7). Deterministic document
@@ -134,11 +167,26 @@ case class MinhashSigExpr(shs: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinhashSigExpr = copy(c)
 }
 
+/** simhash16(lowered_text) → BIGINT 16-bit simhash (pass text through
+  * lower() first). */
+case class Simhash16Expr(text: Expression) extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any =
+    TextRT.simhash16(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextRT.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Simhash16Expr = copy(c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
 
   def str_poly_hash(text: Column): Column =
     column(StrPolyHashExpr(expression(text)))
+  def simhash16(loweredText: Column): Column =
+    column(Simhash16Expr(expression(loweredText)))
   def shingle_hashes(loweredText: Column): Column =
     column(ShingleHashesExpr(expression(loweredText)))
   def minhash_sig(shs: Column): Column =

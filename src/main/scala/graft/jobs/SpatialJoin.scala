@@ -27,7 +27,14 @@ object SpatialJoin {
       knnMaxRing: Int = 3,
       tileZoom: Int = 12,
       saltBuckets: Int = 0,
-      hotCellMinPages: Long = 100000L)
+      hotCellMinPages: Long = 100000L,
+      // kNN centre-index rows above which the broadcast hint is DROPPED
+      // and the probe degrades to a plain shuffle equi-join (AQE picks
+      // shuffled-hash): a forced broadcast() disables Spark's own size
+      // check, and the probe disk is |centres|·(2·maxRing+1)² rows — at
+      // ~10⁶ planet admin centres that is ~49M rows, past the broadcast
+      // comfort zone. 4M rows ≈ 300 MB at ~80 B/row.
+      knnBroadcastMaxRows: Long = 4000000L)
 
   /** Geoparse: url + packed coordinate; drops pages with no mention.
     * Column pruning matters here — only (url, text) are read, never
@@ -115,8 +122,10 @@ object SpatialJoin {
     * integer squared planar L2 in 1e-7° space with antimeridian wrap —
     * deterministic at any parallelism.
     *
-    * ONE lazy DAG, zero driver-side actions or loops, and ALL cell
-    * fan-out lives on the small centre side — pages never explode
+    * ONE lazy DAG over the pages (the only driver-side action is a
+    * count of the SMALL centre side, which sizes the broadcast
+    * decision), and ALL cell fan-out lives on the small centre side —
+    * pages never explode
     * (round 2 exploded a (2·maxRing+1)² disk per page: 10^9 probe rows
     * at 2·10^7 pages; inverting the disk onto the centres made the
     * probe one row per page):
@@ -145,6 +154,24 @@ object SpatialJoin {
   def knnCentres(spark: SparkSession, points: DataFrame,
       centres: DataFrame, p: Params): DataFrame = {
     require(p.knnLevel >= 1, "knnLevel must be >= 1")
+    // one cheap count of the SMALL side decides the join strategy below
+    // (the same move containmentJoin makes for its cover levels): each
+    // centre-index broadcast hint is kept only while its exploded row
+    // count stays under knnBroadcastMaxRows — beyond that the hint
+    // would force an unbounded broadcast, so the plain equi-join ships
+    // instead and AQE/size-stats pick shuffled-hash. Cost, never
+    // result: every branch joins the same rows either way.
+    val nCentres = centres.count()
+    def hinted(idx: DataFrame, estRows: Long): DataFrame =
+      if (estRows <= p.knnBroadcastMaxRows) broadcast(idx)
+      // merely dropping the hint is NOT enough: Catalyst's Generate
+      // stats do not multiply by the explode fan-out, so the over-bound
+      // index's byte size is underestimated and Spark would still
+      // auto-broadcast it — the explicit shuffle_hash hint makes the
+      // degradation deterministic (hash built per-partition on the
+      // index side, nothing collected to the driver)
+      else idx.hint("shuffle_hash")
+    val diskWidth = 2L * p.knnMaxRing + 1L
     val centIdx = centres.select(col("relation_id").as("c_rel"),
         col("c_lat7"), col("c_lon7"))
       .withColumn("ccell", G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
@@ -161,7 +188,8 @@ object SpatialJoin {
     val pts = points
       .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
     val probe = pts
-      .join(broadcast(centDisk), col("kcell") === col("dcell"), "left_outer")
+      .join(hinted(centDisk, nCentres * diskWidth * diskWidth),
+        col("kcell") === col("dcell"), "left_outer")
       .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
 
     // Multi-level ancestor indexes, restricted per branch (see Scaladoc)
@@ -178,7 +206,7 @@ object SpatialJoin {
     // level so a single multi-level index join covers them all
     val fbHit = probe.filter(col("d2found").isNull).drop("d2found")
       .withColumn("rc", explode(G.ancestor_probe(col("kcell"), lit(p.knnLevel))))
-      .join(broadcast(centFallback), col("rc") === col("acell"))
+      .join(hinted(centFallback, nCentres * p.knnLevel), col("rc") === col("acell"))
       .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
 
     // Exact gather at the radius-matched level, glvl clamped into the
@@ -193,7 +221,7 @@ object SpatialJoin {
           pow(lit(2.0), col("glvl")) / latSpan) + 1).cast("int"))
         .withColumn("rc", explode(G.cell_disk(
           G.cell_ancestor(col("kcell"), col("glvl")), col("kneed"))))
-        .join(broadcast(idx), col("rc") === col("acell"))
+        .join(hinted(idx, nCentres * (lvlHi - lvlLo + 1L)), col("rc") === col("acell"))
         .withColumn("d2v", d2)
         .groupBy("url").agg(min(struct(col("d2v"), col("c_rel"))).as("b"))
         .select(col("url"), col("b.c_rel").as("nn_relation_id"))

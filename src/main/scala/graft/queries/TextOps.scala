@@ -238,35 +238,44 @@ object TextOps {
         val pairs = verifiedPairs(s, d).select("d1", "d2")
         val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
           .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        def truncate(df: DataFrame): DataFrame =
-          s.createDataFrame({ val r = df.rdd; r.localCheckpoint(); r.count(); r },
-            df.schema)
-        val edgesM = truncate(edges)
-        var labels = truncate(edgesM.select(col("a").as("node"))
-          .distinct().withColumn("comp", col("node")))
+        // Dataset.localCheckpoint: materializes ONCE (stats-truncating,
+        // lineage-cutting) and stays in Tungsten InternalRow format —
+        // round ≤3 dropped to RDD[Row] per round for an accumulator
+        // convergence count, paying Row↔InternalRow conversion both
+        // ways every round (the single most expensive bench query)
+        val edgesM = edges.localCheckpoint()
+        var labels = edgesM.select(col("a").as("node"))
+          .distinct().withColumn("comp", col("node")).localCheckpoint()
         var converged = false
         var round = 0
-        val schema = labels.schema
         while (!converged && round < 50) {
           // the self row is tagged so ONE aggregation yields both the
-          // new label and the old one; convergence is counted by an
-          // accumulator during the materializing count — one job per
-          // round (round 2 paid an extra join job per round for it)
+          // new label and the old one; the materializing checkpoint is
+          // the round's one real job — the convergence count after it
+          // is a map-side-combined scan of the freshly cached blocks
           val step = edgesM.join(labels, edgesM("a") === labels("node"))
             .select(col("b").as("node"), col("comp"), lit(false).as("self"))
             .union(labels.withColumn("self", lit(true)))
             .groupBy("node").agg(min(col("comp")).as("comp"),
               min(when(col("self"), col("comp"))).as("old"))
-          val changed = s.sparkContext.longAccumulator("cc-changed")
-          val rdd = step.rdd.map { r =>
-            if (r.getLong(1) != r.getLong(2)) changed.add(1L)
-            org.apache.spark.sql.Row(r.getLong(0), r.getLong(1))
-          }
-          rdd.localCheckpoint()
-          rdd.count()
-          labels = s.createDataFrame(rdd, schema)
-          converged = changed.value == 0L
+            .localCheckpoint()
+          val changed = step.filter(col("comp") =!= col("old")).count()
+          labels = step.select("node", "comp")
+          // Dataset.localCheckpoint keeps the ORIGIN plan's statistics,
+          // and each round's join multiplies them — left unchecked the
+          // size-estimate BigInts grow a factor-of-2 EXPONENT per round
+          // and hang the driver around round ~25 (measured in round 1;
+          // dup clusters converge in 2-3 rounds, so the expensive
+          // RDD-rebuild stat reset runs only on pathologically deep
+          // graphs, every 8 rounds)
+          if (round % 8 == 7)
+            labels = s.createDataFrame(
+              { val r = labels.rdd; r.localCheckpoint(); r.count(); r },
+              labels.schema)
+          converged = changed == 0L
           round += 1
+          if (sys.env.contains("GRAFT_CC_DEBUG"))
+            println(f"[cc] round $round changed=$changed t=${System.nanoTime() / 1e9}%.2f")
         }
         // a chain with component diameter > the round cap would emit
         // WRONG cluster ids — fail loudly instead (plausible at corpus
@@ -285,18 +294,18 @@ object TextOps {
               |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
               |FROM r GROUP BY a ORDER BY doc_id""".stripMargin)),
 
-    // simhash (16-bit, token-level)
+    // simhash (16-bit, token-level) as a PER-ROW codegen kernel — zero
+    // fan-out, zero shuffle before the final sort (round ≤3 exploded
+    // tokens×16 bits and paid two groupBy shuffles). The null-text
+    // filter preserves the exploded formulation's semantics (null text
+    // produced no token rows → doc absent from output); the fixture has
+    // none, but parity must not depend on that.
     QueryDef(
       "q_simhash",
       (s, d) => {
-        val th = corpus(s, d)
-          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-          .select(col("doc_id"), sph(col("tok")).as("th"))
-          .select(col("doc_id"), col("th"), explode(sequence(lit(0), lit(15))).as("b"))
-          .withColumn("sgn", expr("CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END"))
-          .groupBy("doc_id", "b").agg(sum(col("sgn")).as("s"))
-        th.groupBy("doc_id")
-          .agg(sum(expr("CASE WHEN s > 0 THEN 1 << b ELSE 0 END")).as("simhash"))
+        corpus(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            TextFunctions.simhash16(lower(col("text"))).as("simhash"))
           .orderBy("doc_id")
       },
       Some(s"""WITH c AS ($corpusSql),

@@ -88,6 +88,31 @@ class PlanQualitySpec extends AnyFunSuite {
       "centre index must broadcast — it is small by construction")
   }
 
+  test("kNN probe disk DROPS the broadcast hint above the row bound (degrades to shuffle, not OOM)") {
+    val pts = spark.range(1000)
+      .select(col("id").cast("string").as("url"),
+        (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
+    // 10⁵ centres × (2·3+1)² disk = 4.9M index rows > the 4M default
+    // bound: the probe-disk join must ship WITHOUT the broadcast hint
+    // (a planet has ~10⁶ admin centres; a forced broadcast() there
+    // bypasses Spark's size check and OOMs the executors)
+    val centres = spark.range(100000)
+      .select(col("id").as("relation_id"),
+        ((col("id") * 7777L) % 800000000L).as("c_lat7"),
+        ((col("id") * 9999L) % 1600000000L).as("c_lon7"))
+    val knn = SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
+    val plan = knn.queryExecution.executedPlan.toString()
+    // the probe join is the one keyed on dcell; join lines list keys
+    val probeLines = plan.linesIterator.filter(_.contains("dcell")).toSeq
+    assert(probeLines.exists(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
+      s"probe-disk join must degrade to a shuffle equi-join:\n$plan")
+    assert(!probeLines.exists(_.contains("BroadcastHashJoin")),
+      s"probe-disk broadcast must be dropped at 4.9M index rows:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
   test("ANN embedding plan stays a bucket equi-join (no cartesian/nested-loop)") {
     val plan = SparkEntry.queries("q_embed_ann_lsh")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
