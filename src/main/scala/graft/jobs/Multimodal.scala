@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE branch is a REAL decode: JPEG/PNG bytes → pixels via the
   * JDK's own `javax.imageio` (no extra jars), features derived from the
-  * decoded pixel grid. Audio/video decode remains a clearly-marked STUB
-  * (no audio/video decoder ships in the container), with real and
-  * tested plumbing around it: schema, batching, partition-level
-  * iteration, deterministic output at any parallelism, and the
-  * frame-sampling fan-out. Swapping the stub for a real decoder changes
-  * no plan shape. */
+  * decoded pixel grid. The AUDIO branch is likewise a REAL decode:
+  * WAV/PCM bytes → 16-bit samples via the JDK's
+  * `javax.sound.sampled.AudioSystem` (java.desktop ships both).
+  * VIDEO decode remains a clearly-marked STUB (no video decoder ships
+  * in the container), with real and tested plumbing around it: schema,
+  * batching, partition-level iteration, deterministic output at any
+  * parallelism, and the frame-sampling fan-out. Swapping the stub for a
+  * real decoder changes no plan shape. */
 object Multimodal {
 
   final case class MediaMeta(width: Int, height: Int, sampleRateHz: Int, nFrames: Int)
@@ -24,11 +26,6 @@ object Multimodal {
 
   val BatchSize = 64
   val FeatureDim = 16
-
-  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
-  // writes a temp file, which dominates small-image batches (measured
-  // ~4s for 6.6k PNGs at sf0.1). In-memory streams need no cache.
-  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic media table derived from the pages html payload —
     * stands in for a real (id, kind, bytes, meta) multimodal table.
@@ -51,8 +48,7 @@ object Multimodal {
         struct(col("width"), col("height"), col("sampleRateHz"), col("nFrames")).as("meta"))
       .as[MediaRow]
     base.map { row =>
-      if (row.kind != "image") row
-      else {
+      if (row.kind == "image") {
         val w = (row.meta.width % 14) + 3
         val h = (row.meta.height % 14) + 3
         val img = new java.awt.image.BufferedImage(w, h,
@@ -69,19 +65,124 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        // explicit in-memory ImageOutputStream: the bare-OutputStream
+        // overload consults the JVM-global disk-cache setting (a temp
+        // file per image, ~4s over 6.6k small PNGs at sf0.1; round 3
+        // flipped ImageIO.setUseCache(false) globally — a process-wide
+        // side effect this explicit stream scopes away)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        javax.imageio.ImageIO.write(img, "png", ios)
+        ios.close()
         row.copy(bytes = bos.toByteArray,
           meta = row.meta.copy(width = w, height = h))
-      }
+      } else if (row.kind == "audio") {
+        // REAL WAV payload: deterministic 16-bit mono PCM keyed on
+        // mediaId, containerized by the JDK's own WAV writer — so the
+        // decode branch below exercises a genuine bytes→samples path
+        val sr = 8000
+        val n = row.meta.nFrames * 40 + 80 // 120..1280 samples
+        val pcm = new Array[Byte](n * 2)
+        var hh = row.mediaId * 1000003L + 12345L
+        var i = 0
+        while (i < n) {
+          hh ^= hh << 13; hh ^= hh >>> 7; hh ^= hh << 17
+          val v = (hh % 20000L).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        row.copy(bytes = bos.toByteArray,
+          meta = row.meta.copy(sampleRateHz = sr))
+      } else row
     }
   }
 
   /** REAL image decode via the JDK's javax.imageio (JPEG/PNG/GIF/BMP —
     * whatever the platform readers support); None when the payload is
-    * not a decodable image. */
+    * not a decodable image. The explicit in-memory ImageInputStream
+    * avoids both the disk stream cache and any dependence on the
+    * JVM-global `ImageIO.setUseCache` flag. */
   def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself
+      Option(javax.imageio.ImageIO.read(iis))
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode via the JDK's javax.sound.sampled: WAV/AIFF/AU
+    * containers of 16-bit signed PCM → integer samples (both byte
+    * orders, any channel count — frames stay interleaved); None when
+    * the payload is not decodable audio or not 16-bit PCM. */
+  def decodeAudio(bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Int](n)
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (be) (raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)
+              else (raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)
+            i += 1
+          }
+          Some((fmt, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Features from DECODED SAMPLES (all exact multiples of 1/1000 with
+    * sub-16.7M numerators, so the gate's ×1000 quantization stays
+    * lossless): channels, sample rate, sample count, integer mean |s|,
+    * max/min sample, 8-bin |s|-magnitude histogram (|s|>>12, top bin
+    * clamped), zero crossings, Σ|s| mod 1e6 amplitude checksum. */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+      samples: Array[Int]): Array[Float] = {
+    val out = new Array[Float](FeatureDim)
+    val n = samples.length
+    var sumAbs = 0L
+    var minS = 0; var maxS = 0
+    val hist = new Array[Long](8)
+    var zc = 0L
+    var i = 0
+    while (i < n) {
+      val v = samples(i)
+      val a = math.abs(v)
+      sumAbs += a
+      if (v < minS) minS = v
+      if (v > maxS) maxS = v
+      hist(math.min(a >> 12, 7)) += 1
+      if (i > 0 && ((samples(i - 1) >= 0) != (v >= 0))) zc += 1
+      i += 1
+    }
+    out(0) = fmt.getChannels / 1000.0f
+    out(1) = fmt.getSampleRate.toInt / 1000.0f
+    out(2) = n / 1000.0f
+    out(3) = (if (n == 0) 0L else sumAbs / n) / 1000.0f
+    out(4) = maxS / 1000.0f
+    out(5) = minS / 1000.0f
+    var k = 0
+    while (k < 8) { out(6 + k) = hist(k) / 1000.0f; k += 1 }
+    out(14) = zc / 1000.0f
+    out(15) = (sumAbs % 1000000L) / 1000.0f
+    out
+  }
 
   /** Features from DECODED PIXELS (all exact multiples of 1/1000, so
     * the gate's ×1000 quantization stays lossless): dims, per-channel
@@ -118,12 +219,13 @@ object Multimodal {
     out
   }
 
-  /** ??? STUB ??? (audio/video only) A real implementation demuxes the
-    * container and decodes PCM/frames; no audio/video decoder ships in
-    * this container, so this deterministic fake hashes the bytes into
-    * FeatureDim floats — the surrounding plumbing (batch shape, schema,
-    * ordering independence) stays fully testable. Image payloads do NOT
-    * go through here: they take the real [[decodeImage]] path. */
+  /** ??? STUB ??? (video only, plus the fallback for undecodable
+    * payloads) A real implementation demuxes the container and decodes
+    * frames; no video decoder ships in this container, so this
+    * deterministic fake hashes the bytes into FeatureDim floats — the
+    * surrounding plumbing (batch shape, schema, ordering independence)
+    * stays fully testable. Image and audio payloads do NOT go through
+    * here: they take the real [[decodeImage]]/[[decodeAudio]] paths. */
   def decodeBatchStub(batch: Array[Array[Byte]]): Array[Array[Float]] =
     batch.map { bytes =>
       val out = new Array[Float](FeatureDim)
@@ -139,13 +241,16 @@ object Multimodal {
       out
     }
 
-  /** Per-batch decode dispatch: REAL JDK pixel decode for image rows
-    * (hash-stub fallback only if the bytes fail to decode), hash stub
-    * for audio/video. */
+  /** Per-batch decode dispatch: REAL JDK pixel decode for image rows,
+    * REAL JDK PCM decode for audio rows (hash-stub fallback only if
+    * the bytes fail to decode), hash stub for video. */
   def decodeBatch(batch: Array[(String, Array[Byte])]): Array[Array[Float]] =
     batch.map { case (kind, bytes) =>
-      (if (kind == "image") decodeImage(bytes).map(imageFeatures) else None)
-        .getOrElse(decodeBatchStub(Array(bytes)).head)
+      (kind match {
+        case "image" => decodeImage(bytes).map(imageFeatures)
+        case "audio" => decodeAudio(bytes).map { case (f, s) => audioFeatures(f, s) }
+        case _ => None
+      }).getOrElse(decodeBatchStub(Array(bytes)).head)
     }
 
   /** Batched feature extraction: one decode call per ≤BatchSize rows —

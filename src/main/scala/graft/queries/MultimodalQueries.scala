@@ -6,12 +6,14 @@ import graft.jobs.Multimodal
 import graft.synth.Pages
 import graft.util.QueryDef
 
-/** Driver gate for the multimodal batch plumbing (decode itself is a
-  * documented stub — no decoder libraries ship in the container — but
-  * the schema, mapPartitions batching, and frame fan-out are real and
-  * deterministic, so their outputs freeze into a digest golden like the
-  * other fixture-derived queries). Feature floats are exact multiples
-  * of 1/1000 by construction, so the ×1000 quantization is lossless. */
+/** Driver gate for the multimodal batch plumbing. Image and audio rows
+  * take REAL JDK decodes (imageio pixels, sampled-audio PCM); video
+  * decode is a documented stub — no video decoder ships in the
+  * container — but the schema, mapPartitions batching, and frame
+  * fan-out are real and deterministic, so all outputs freeze into a
+  * digest golden like the other fixture-derived queries. Feature floats
+  * are exact multiples of 1/1000 with sub-16.7M numerators by
+  * construction, so the ×1000 quantization is lossless. */
 object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(

@@ -54,6 +54,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  // an EXTERNAL WAV (hand-assembled canonical 44-byte RIFF header +
+  // little-endian PCM16 mono @8kHz, not our own AudioSystem round-trip)
+  private val externalWav: Array[Byte] = {
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 500, -500, 0)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("a real external WAV decodes to exact sample-derived features") {
+    val (fmt, samples) = Multimodal.decodeAudio(externalWav)
+      .getOrElse(fail("external WAV must decode"))
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1)
+    assert(samples.toSeq == Seq(0, 1000, -1000, 32767, -32768, 500, -500, 0))
+    val f = Multimodal.audioFeatures(fmt, samples).toSeq
+    // ch=1, sr=8000, n=8, mean|s|=68535/8=8566, max=32767, min=-32768,
+    // |s|>>12 hist [6,0,0,0,0,0,0,2] (32768>>12=8 clamps into bin 7),
+    // 6 zero crossings, Σ|s| mod 1e6 = 68535
+    val expect = Seq(0.001f, 8.0f, 0.008f, 8.566f, 32.767f, -32.768f,
+      0.006f, 0f, 0f, 0f, 0f, 0f, 0f, 0.002f, 0.006f, 68.535f)
+    assert(f == expect, s"got $f")
+    // and the full batch path routes audio bytes through the real decode
+    val viaBatch = Multimodal.decodeBatch(Array(("audio", externalWav))).head.toSeq
+    assert(viaBatch == expect)
+    // non-audio bytes must fall back to the stub, not throw
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+  }
+
+  test("synthetic media audio rows carry genuine WAVs matching their meta") {
+    val auds = media.filter(_.kind == "audio").collect()
+    assert(auds.nonEmpty)
+    for (row <- auds.take(20)) {
+      val (fmt, samples) = Multimodal.decodeAudio(row.bytes)
+        .getOrElse(fail(s"media ${row.mediaId} must be a real WAV"))
+      assert(fmt.getSampleRate.toInt == row.meta.sampleRateHz)
+      assert(samples.length == row.meta.nFrames * 40 + 80)
+    }
+    // extracted features reflect the DECODED samples, not the bytes hash
+    val feats = Multimodal.extractFeatures(media).collect()
+      .filter(_.kind == "audio").map(f => f.mediaId -> f.feature).toMap
+    for (row <- auds.take(20)) {
+      val f = feats(row.mediaId)
+      assert(math.round(f(1) * 1000) == row.meta.sampleRateHz)
+      assert(math.round(f(2) * 1000) == row.meta.nFrames * 40 + 80)
+    }
+  }
+
   test("synthetic media image rows carry genuine PNGs matching their meta") {
     val imgs = media.filter(_.kind == "image").collect()
     assert(imgs.nonEmpty)
