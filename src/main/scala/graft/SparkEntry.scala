@@ -12,7 +12,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++ graft.queries.Geo.defs ++
     graft.queries.TextOps.defs ++ graft.queries.Similarity.defs ++
     graft.queries.OsmQueries.defs ++ graft.queries.StreamingQueries.defs ++
-    graft.queries.MultimodalQueries.defs
+    graft.queries.MultimodalQueries.defs ++ graft.queries.OscQueries.defs
 
   /** Flagship: the full north-rule pipeline — fixture admin areas ×
     * synthetic pages → containment join → tiles (rows > 0). */
