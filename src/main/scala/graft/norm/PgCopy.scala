@@ -279,8 +279,18 @@ object PgCopy {
       relations = meta("relations", "relation_id"),
       relationTags = tags("relation_tags", "relation_id"),
       relationMembers = members,
+      // a NULL parsed id means the COPY layout does not match the
+      // dump's physical column order (loose casts would otherwise
+      // propagate null/garbage uids SILENTLY — the layout constant is
+      // transcribed from the public openstreetmap-website
+      // db/structure.sql and cannot be re-verified offline, so a
+      // mismatch must fail loudly; pass the dump's real layout via
+      // usersLayout= / CLI --users-layout= if it ever differs)
       users = readTable(spark, s"$dir/users", usersLayout)
-        .select(col("id").cast("int").as("uid"),
+        .select(coalesce(col("id"), raise_error(lit(
+          s"users COPY layout mismatch: parsed a NULL user id from " +
+            s"$dir/users — pass the dump's physical column order via usersLayout")))
+          .cast("int").as("uid"),
         col("display_name").as("name")),
       changesets = t("changesets").select(col("id").as("changeset_id"),
         col("user_id").cast("int").as("uid"),

@@ -206,11 +206,18 @@ object PbfRead {
   private[pbf] def typeFirstHeaders(spark: SparkSession, path: String): Boolean = {
     val in = new DataInputStream(hadoopOpen(spark, path))
     try {
+      // probe until the FIRST OSMData frame decides (frame 0 or 1 in
+      // practice, but e.g. several concatenated OSMHeader frames are
+      // legal); an INCONCLUSIVE probe — EOF with no data frame, or the
+      // frame budget exhausted — returns false so the caller takes the
+      // sequential index, which parses any field order (round 3
+      // defaulted to true after 4 frames and would have mis-gated such
+      // a file onto the signature search, silently losing frames)
       var k = 0
-      while (k < 4) { // the first data frame is frame 0 or 1 in practice
+      while (k < 1024) { // budget: each iteration skips a whole frame
         val headerLen =
           try in.readInt()
-          catch { case _: java.io.EOFException => return true }
+          catch { case _: java.io.EOFException => return false }
         val hb = new Array[Byte](headerLen)
         in.readFully(hb)
         parseBlobHeader(hb) match {
@@ -223,7 +230,7 @@ object PbfRead {
         }
         k += 1
       }
-      true
+      false
     } finally in.close()
   }
 

@@ -252,16 +252,31 @@ object PbfWrite {
     val sorted = ds
       .repartitionByRange(nPart, $"kind", $"id", $"version")
       .sortWithinPartitions($"kind", $"id", $"version")
-    // single-file mode stages parts next door, then concatenates;
-    // directory mode writes the final layout directly
-    val tmp = if (singleFile) path + ".parts" else path
+    // BOTH modes stage parts next door and only touch the destination
+    // after every task has succeeded: single-file concatenates the
+    // staging parts, directory mode renames the staging dir into place
+    // — a failed export leaves the previous output intact either way
+    // (round 3 wrote directory parts straight to the final path, so a
+    // mid-job failure destroyed the prior output)
+    val tmp = path + ".staging"
     val hconfSer = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val bc = spark.sparkContext.broadcast(hconfSer)
     val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer.value)
     fs0.delete(new Path(tmp), true)
-    if (singleFile) fs0.delete(new Path(path), true) // may be a prior directory-form output
     fs0.mkdirs(new Path(tmp))
+    try writeStaged(spark, sorted, path, tmp, bc, info, singleFile)
+    catch { case e: Throwable =>
+      fs0.delete(new Path(tmp), true) // destination untouched on failure
+      throw e
+    }
+  }
+
+  private def writeStaged(spark: SparkSession, sorted: Dataset[OsmEntity],
+      path: String, tmp: String,
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+      info: PbfInfo, singleFile: Boolean): Unit = {
+    import spark.implicits._
     val stats = sorted.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
@@ -320,15 +335,21 @@ object PbfWrite {
     }
     val hf = headerFrame(historical, bbox, info.source, info.writingProgram,
       info.replicationTimestamp, info.replicationSequence, info.replicationBaseUrl)
-    val fs = FileSystem.get(new Path(path).toUri, hconfSer.value)
+    val fs = FileSystem.get(new Path(path).toUri, bc.value.value)
     // header as part-00000 (written last — it needs the stats — but
     // FIRST in name order, which is all a frame-concatenated reader uses)
     val hout = fs.create(new Path(tmp, "part-00000"), true)
     hout.write(hf)
     hout.close()
+    // sweep zombie attempt files (failed/duplicate task attempts that
+    // never renamed) so neither output form carries them
+    for (st <- fs.listStatus(new Path(tmp))
+         if st.getPath.getName.startsWith(".part-"))
+      fs.delete(st.getPath, false)
     if (singleFile) {
       // compatibility concat: every byte re-passes through one driver
       // stream — fine for extracts, wrong for planet-scale outputs
+      fs.delete(new Path(path), true) // may be a prior directory-form output
       val out = fs.create(new Path(path), true)
       val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -341,6 +362,12 @@ object PbfWrite {
       }
       out.close()
       fs.delete(new Path(tmp), true)
+    } else {
+      // atomic-ish commit: clobber the destination only now that every
+      // part (and the header) is staged and swept
+      fs.delete(new Path(path), true)
+      require(fs.rename(new Path(tmp), new Path(path)),
+        s"commit rename failed: $tmp -> $path")
     }
   }
 }

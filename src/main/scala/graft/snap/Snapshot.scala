@@ -31,7 +31,11 @@ object Snapshot {
   def stageKey(name: String, inputs: Seq[String]): String = {
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest((name +: inputs).mkString("\u0000").getBytes(StandardCharsets.UTF_8))
-    name + "-" + h.take(8).map("%02x".format(_)).mkString
+    // path-sanitize the name (the key becomes a directory name); the
+    // hash is over the RAW name, so distinct names stay distinct keys
+    val safe = name.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+    safe + "-" + h.take(8).map("%02x".format(_)).mkString
   }
 
   private def manifestPath(root: String, key: String) =
@@ -46,17 +50,21 @@ object Snapshot {
     val mp = manifestPath(root, key)
     val dataPath = s"$root/$key"
     if (f.exists(mp)) {
-      val m = new String(readAll(f, mp), StandardCharsets.UTF_8)
-      val rows = "\"totalRows\":(\\d+)".r.findFirstMatchIn(m).map(_.group(1).toLong).getOrElse(-1L)
-      val files = "\"path\"".r.findAllIn(m).length
+      // real JSON parse (Jackson ships with Spark) — the round-1 regex
+      // scrape broke the day a stage name or metric key held a quote
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readAll(f, mp))
+      val rows = if (m.has("totalRows")) m.get("totalRows").asLong(-1L) else -1L
+      val files = if (m.has("files")) m.get("files").size() else 0
       (spark.read.parquet(dataPath),
         StageResult(key, dataPath, rows, files, 0L, resumed = true, inputs))
     } else {
       val t0 = System.nanoTime()
+      val df = compute // bind once: `compute` is by-name
       val tmp = s"$root/_tmp-$key-${System.nanoTime()}"
       // A11/J9: executor metrics for this stage land in the manifest
       val (_, metrics) = graft.util.Progress.tracked(spark) {
-        compute.write.mode("overwrite").parquet(tmp)
+        df.write.mode("overwrite").parquet(tmp)
       }
       // per-partition metrics from parquet footers (no extra job)
       val parts = f.listStatus(new Path(tmp)).map(_.getPath)
@@ -73,13 +81,24 @@ object Snapshot {
       require(f.rename(new Path(tmp), new Path(dataPath)), s"rename failed: $tmp")
       val wallMs = (System.nanoTime() - t0) / 1000000
       val total = counts.map(_._2).sum
-      val json =
-        s"""{"stage":"$name","key":"$key","committedAt":${System.currentTimeMillis()},
-           |"lineage":[${inputs.map(i => "\"" + i + "\"").mkString(",")}],
-           |"wallMs":$wallMs,"totalRows":$total,
-           |"metrics":{${metrics.toSeq.sorted.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},
-           |"files":[${counts.map { case (p, n) => s"""{"path":"$p","rows":$n}""" }.mkString(",")}]}
-           |""".stripMargin
+      // emit via a real JSON writer (escaping-safe for any stage name /
+      // metric key) and RECORD THE SCHEMA — a manifest version is a
+      // consistent snapshot, so it must be self-describing
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val man = mapper.createObjectNode()
+      man.put("stage", name).put("key", key)
+        .put("committedAt", System.currentTimeMillis())
+      val lin = man.putArray("lineage")
+      inputs.foreach(lin.add)
+      man.put("wallMs", wallMs).put("totalRows", total)
+      val met = man.putObject("metrics")
+      metrics.toSeq.sorted.foreach { case (k, v) => met.put(k, v) }
+      val fl = man.putArray("files")
+      counts.foreach { case (p, n) =>
+        fl.addObject().put("path", p).put("rows", n) }
+      man.set[com.fasterxml.jackson.databind.JsonNode]("schema",
+        mapper.readTree(df.schema.json))
+      val json = mapper.writeValueAsString(man) + "\n"
       val tmpM = new Path(s"$root/_manifests/.tmp-$key-${System.nanoTime()}")
       f.mkdirs(new Path(s"$root/_manifests"))
       val out = f.create(tmpM, true)

@@ -99,6 +99,23 @@ class PgCopySpec extends AnyFunSuite {
       Seq((12L, "alice"), (34L, "bob")))
   }
 
+  test("a users layout mismatch fails loudly (no silent NULL uids)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgcopy-mismatch").toString
+    for (t <- Seq("nodes", "node_tags", "ways", "way_tags", "way_nodes",
+        "relations", "relation_tags", "relation_members", "changesets"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, t), "\\.\n")
+    // a ONE-column users.dat read with the default 29-col layout: the
+    // id position resolves past the row's end → NULL id → raise_error
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "users"),
+      "42\n\\.\n")
+    val e = intercept[Exception] {
+      PgCopy.readApiDb(spark, dir).users.collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("layout mismatch"), s"got: $chain")
+  }
+
   test("quadTile matches the public openstreetmap algorithm") {
     def ref(lat: Double, lon: Double): Long = {
       var x = Math.round((lon + 180) * 65535 / 360)

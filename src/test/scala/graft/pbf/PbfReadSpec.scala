@@ -177,6 +177,26 @@ class PbfReadSpec extends AnyFunSuite {
     assert(PbfRead.typeFirstHeaders(spark, file(swapped = false)))
     val odd = file(swapped = true)
     assert(!PbfRead.typeFirstHeaders(spark, odd))
+    // a file with NO data frame at all (e.g. only OSMHeader frames) is
+    // INCONCLUSIVE → false, routing to the sequential index
+    val headerOnly = {
+      val blob = new PbfWrite.Out
+      blob.bytes(1, Array.fill[Byte](16)(1))
+      val bb = blob.toArray
+      val hdr = new PbfWrite.Out
+      hdr.str(1, "OSMHeader"); hdr.int(3, bb.length)
+      val hb = hdr.toArray
+      val out = new java.io.ByteArrayOutputStream()
+      for (_ <- 0 until 6) { // several concatenated header frames
+        out.write(Array[Byte]((hb.length >>> 24).toByte, (hb.length >>> 16).toByte,
+          (hb.length >>> 8).toByte, hb.length.toByte))
+        out.write(hb); out.write(bb)
+      }
+      val p = "/tmp/graft-test-headeronly.pbf"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+      p
+    }
+    assert(!PbfRead.typeFirstHeaders(spark, headerOnly))
     // the sequential index parses it regardless of field order
     val fr = PbfRead.scanFrames(spark, odd)
     assert(fr.map(f => (f.blobType, f.dataLen)) == Seq(("OSMData", 66)))

@@ -41,10 +41,30 @@ class PbfWriteSpec extends AnyFunSuite {
     PbfWrite.write(spark, osm, outPath, partitions = 4, singleFile = true)
     val f = new java.io.File(outPath)
     assert(f.isFile, "single-file mode must produce one plain file")
-    assert(!new java.io.File(outPath + ".parts").exists(), "staging dir removed")
+    assert(!new java.io.File(outPath + ".staging").exists(), "staging dir removed")
     assert(PbfRead.readHeader(spark, outPath).optionalFeatures
       .contains("Sort.Type_then_ID"))
     assert(Normalize.diffCount(osm, PbfRead.read(spark, outPath)) == 0)
+  }
+
+  test("a failed export leaves the previous output intact and no staging behind") {
+    val osm = PbfRead.read(spark, fixture).cache()
+    val outPath = "/tmp/graft-test-failed-export.osm.pbf"
+    PbfWrite.write(spark, osm, outPath, partitions = 2)
+    val before = Normalize.diffCount(osm, PbfRead.read(spark, outPath))
+    assert(before == 0)
+    // an export whose tasks throw mid-write must not clobber outPath
+    val poisoned = osm.map { e =>
+      if (e.kind == OsmKind.Way) throw new RuntimeException("boom")
+      e
+    }
+    intercept[Exception] {
+      PbfWrite.write(spark, poisoned, outPath, partitions = 2)
+    }
+    assert(!new java.io.File(outPath + ".staging").exists(),
+      "failed staging dir swept")
+    assert(Normalize.diffCount(osm, PbfRead.read(spark, outPath)) == 0,
+      "previous committed output must survive a failed export")
   }
 
   test("full chain: pbf → apidb tables → reassemble → pbf → read ≡ original") {

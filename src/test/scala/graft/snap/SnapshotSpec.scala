@@ -51,6 +51,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(r3.stages("tiles").rows > 0)
   }
 
+  test("a stage name containing quotes round-trips (manifest is real JSON, key path-safe)") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-snap-quote").toString
+    val name = """stage "with" quotes/and slash"""
+    val (_, s1) = Snapshot.stage(spark, dir, name, Seq("in1")) {
+      spark.range(10).select(col("id"), lit("x\"y").as("s"))
+    }
+    assert(!s1.resumed && s1.rows == 10)
+    val (df2, s2) = Snapshot.stage(spark, dir, name, Seq("in1")) {
+      fail("must resume, not recompute"): org.apache.spark.sql.DataFrame
+    }
+    assert(s2.resumed && s2.rows == 10 && s2.files == s1.files)
+    assert(df2.count() == 10)
+    // manifest parses as real JSON and records the schema
+    val mf = Paths.get(dir, "_manifests", s1.key + ".json")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(mf))
+    assert(tree.get("stage").asText == name)
+    assert(tree.get("totalRows").asLong == 10)
+    assert(tree.get("schema").get("fields").size() == 2)
+  }
+
   test("different inputs get a different snapshot key (lineage-addressed)") {
     val r4 = Pipeline.run(spark, fixture, 3000, root)
     val r2 = Pipeline.run(spark, fixture, 2000, root)
