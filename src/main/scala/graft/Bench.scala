@@ -81,13 +81,19 @@ object Bench {
       p += 1
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    // the IO/decode FLOOR at this core count: one pass that scans
-    // exactly the columns the pipeline reads (url AND text) with no
-    // geoparse, join, or agg — "how close to just reading the data"
-    val tf = System.nanoTime()
-    spark.read.parquet(pagesPath)
-      .select(sum(length(col("text")) + length(col("url")))).head()
-    val floorPps = nPages / ((System.nanoTime() - tf) / 1e9)
+    // the IO/decode FLOOR at this core count: a pass that scans exactly
+    // the columns the pipeline reads (url AND text) with no geoparse,
+    // join, or agg — "how close to just reading the data". BEST OF TWO
+    // passes: a single unrepeated pass absorbed an interference spike
+    // in the round-3 official run and reported a floor BELOW the
+    // engine's own measured throughput (physically meaningless)
+    def floorOnce(): Double = {
+      val tf = System.nanoTime()
+      spark.read.parquet(pagesPath)
+        .select(sum(length(col("text")) + length(col("url")))).head()
+      nPages / ((System.nanoTime() - tf) / 1e9)
+    }
+    val floorPps = math.max(floorOnce(), floorOnce())
     areas.unpersist()
     (passes * nPages / secs, chk, floorPps)
   }
@@ -169,7 +175,12 @@ object Bench {
         Some(critPairs.sortBy { case (l, h) => h._1 / (4.0 * l._1) }
           .apply((critPairs.size - 1) / 2))
       else None
-    val extra = Seq(16, 32).filter(_ <= cpus).map(c => c -> measurePinned(c, nPages))
+    // transparency rungs (16/32c) run TWICE, best kept: their
+    // run-to-run spread on this DRAM-saturated socket is ±20%, too wide
+    // to cite from one sample (they are not the criterion — that is the
+    // paired-median 1→4c above — but they should not be noise either)
+    val extra = Seq(16, 32).filter(_ <= cpus).map(c =>
+      c -> Seq(measurePinned(c, nPages), measurePinned(c, nPages)).maxBy(_._1))
     val ladder: Seq[(Int, (Double, Long, Double))] =
       (medianPairOpt match {
         case Some((l, h)) => Seq(1 -> l, 4 -> h)
@@ -179,6 +190,11 @@ object Bench {
     // report null instead of a bogus ratio on small machines
     val loOpt = ladder.find(_._1 == 1).map(_._2)
     val hi = ladder.find(_._1 == 4).map(_._2).getOrElse(ladder.last._2)
+    // label the headline value with the core count it actually came
+    // from: in the degraded path (4-core rung missing) it falls back to
+    // the last ladder rung, and claiming "cores_hi":4 there would
+    // mislabel the headline pages/sec
+    val hiCores = if (ladder.exists(_._1 == 4)) 4 else ladder.last._1
     val efficiencyOpt: Option[Double] =
       medianPairOpt.map { case (l, h) => h._1 / (4.0 * l._1) }
     val effJson = efficiencyOpt.map(e => f"$e%.3f").getOrElse("null")
@@ -204,11 +220,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":4,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"efficiency_pairs":$pairsJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
+    val jsonLine =
+      s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":$hiCores,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"efficiency_pairs":$pairsJson,"identical_output":$identical,"n_pages":$nPages,"ladder":${
         ladder.map { case (c, (pps, _, fl)) =>
           s"""{"cores":$c,"pages_per_sec":${f"$pps%.1f"},"scan_floor_pages_per_sec":${f"$fl%.1f"}}""" }
-          .mkString("[", ",", "]")}}}""")
+          .mkString("[", ",", "]")}}}"""
+    println(jsonLine)
 
     val measured =
       s"""|| metric | value | config |
@@ -256,6 +273,10 @@ object Bench {
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.writeString(dir.resolve("BASELINE.md"), md)
+    // machine-readable result alongside the markdown: the driver's log
+    // parse of the stdout line failed in round 3 ("parsed": null) —
+    // this file makes the handoff lossless
+    java.nio.file.Files.writeString(dir.resolve("RESULT.json"), jsonLine + "\n")
     // splice the SAME measured table into BASELINE.md between its
     // markers, so the two documents can never disagree (they cited
     // different runs of each other in round 2)
