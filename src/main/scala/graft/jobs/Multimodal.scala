@@ -91,14 +91,21 @@ object Multimodal {
           pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1,
-          true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        row.copy(bytes = bos.toByteArray,
+        // canonical 44-byte RIFF/PCM header written directly (the
+        // AudioSystem.write stream plumbing cost ~1.5 s over the 6.7k
+        // synthetic rows at sf0.1; the DECODE side below still goes
+        // through AudioSystem, and the spec validates it against an
+        // independently hand-assembled WAV)
+        val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(sr).putInt(sr * 2)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+          .put(pcm)
+        row.copy(bytes = bb.array(),
           meta = row.meta.copy(sampleRateHz = sr))
       } else row
     }

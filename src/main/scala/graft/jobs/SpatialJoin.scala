@@ -160,8 +160,12 @@ object SpatialJoin {
     // count stays under knnBroadcastMaxRows — beyond that the hint
     // would force an unbounded broadcast, so the plain equi-join ships
     // instead and AQE/size-stats pick shuffled-hash. Cost, never
-    // result: every branch joins the same rows either way.
-    val nCentres = centres.count()
+    // result: every branch joins the same rows either way. The count
+    // makes this method eager; checkpointing first makes it pay for
+    // itself — the centre-derivation plan materializes ONCE instead of
+    // re-running under each of the three index builds below.
+    val centresM = centres.localCheckpoint()
+    val nCentres = centresM.count()
     def hinted(idx: DataFrame, estRows: Long): DataFrame =
       if (estRows <= p.knnBroadcastMaxRows) broadcast(idx)
       // merely dropping the hint is NOT enough: Catalyst's Generate
@@ -172,7 +176,7 @@ object SpatialJoin {
       // index side, nothing collected to the driver)
       else idx.hint("shuffle_hash")
     val diskWidth = 2L * p.knnMaxRing + 1L
-    val centIdx = centres.select(col("relation_id").as("c_rel"),
+    val centIdx = centresM.select(col("relation_id").as("c_rel"),
         col("c_lat7"), col("c_lon7"))
       .withColumn("ccell", G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
 

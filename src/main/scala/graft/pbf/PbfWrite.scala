@@ -265,10 +265,37 @@ object PbfWrite {
     val fs0 = FileSystem.get(new Path(tmp).toUri, hconfSer.value)
     fs0.delete(new Path(tmp), true)
     fs0.mkdirs(new Path(tmp))
+    // phase 1 — STAGE (tasks + header + sweep): on failure the staging
+    // dir is disposable (destination untouched), so sweep it
     try writeStaged(spark, sorted, path, tmp, bc, info, singleFile)
     catch { case e: Throwable =>
       fs0.delete(new Path(tmp), true) // destination untouched on failure
       throw e
+    }
+    // phase 2 — COMMIT (clobber destination, rename/concat): from here
+    // the staging dir may hold the ONLY copy of the new data, so a
+    // failure must NOT delete it (a rename/concat failure after the
+    // destination delete would otherwise lose both outputs)
+    if (singleFile) {
+      // compatibility concat: every byte re-passes through one driver
+      // stream — fine for extracts, wrong for planet-scale outputs
+      fs0.delete(new Path(path), true) // may be a prior directory-form output
+      val out = fs0.create(new Path(path), true)
+      val parts = fs0.listStatus(new Path(tmp)).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      for (p <- parts) {
+        val in = fs0.open(p)
+        val b = new Array[Byte](1 << 20)
+        var n = in.read(b)
+        while (n > 0) { out.write(b, 0, n); n = in.read(b) }
+        in.close()
+      }
+      out.close()
+      fs0.delete(new Path(tmp), true)
+    } else {
+      fs0.delete(new Path(path), true)
+      require(fs0.rename(new Path(tmp), new Path(path)),
+        s"commit rename failed; staged output preserved at $tmp")
     }
   }
 
@@ -346,28 +373,5 @@ object PbfWrite {
     for (st <- fs.listStatus(new Path(tmp))
          if st.getPath.getName.startsWith(".part-"))
       fs.delete(st.getPath, false)
-    if (singleFile) {
-      // compatibility concat: every byte re-passes through one driver
-      // stream — fine for extracts, wrong for planet-scale outputs
-      fs.delete(new Path(path), true) // may be a prior directory-form output
-      val out = fs.create(new Path(path), true)
-      val parts = fs.listStatus(new Path(tmp)).map(_.getPath)
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      for (p <- parts) {
-        val in = fs.open(p)
-        val b = new Array[Byte](1 << 20)
-        var n = in.read(b)
-        while (n > 0) { out.write(b, 0, n); n = in.read(b) }
-        in.close()
-      }
-      out.close()
-      fs.delete(new Path(tmp), true)
-    } else {
-      // atomic-ish commit: clobber the destination only now that every
-      // part (and the header) is staged and swept
-      fs.delete(new Path(path), true)
-      require(fs.rename(new Path(tmp), new Path(path)),
-        s"commit rename failed: $tmp -> $path")
-    }
   }
 }

@@ -19,6 +19,10 @@ object OscQueries {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
+      // literal CR/LF/TAB in attribute values would be rewritten to
+      // spaces by XML attribute-value normalization — character
+      // references survive it, keeping oracle parity for any fixture
+      .replace("\t", "&#9;").replace("\n", "&#10;").replace("\r", "&#13;")
 
   /** One XML element per event; action/kind/id/version are pure
     * functions of event_id so the oracle can recompute them in SQL. */
