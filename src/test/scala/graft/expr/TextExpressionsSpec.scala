@@ -64,12 +64,29 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash16 kernel ≡ the exploded tokens×bits formulation it replaced") {
+    val decl = texts.zipWithIndex.toDF("text", "i")
+      .select($"i", explode(split(lower($"text"), " ")).as("tok"))
+      .select($"i", TextFunctions.str_poly_hash($"tok").as("th"))
+      .select($"i", $"th", explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("sgn", expr("CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END"))
+      .groupBy("i", "b").agg(sum($"sgn").as("s"))
+      .groupBy("i")
+      .agg(sum(expr("CASE WHEN s > 0 THEN 1 << b ELSE 0 END")).as("simhash"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fast = texts.zipWithIndex.toDF("text", "i")
+      .select($"i", TextFunctions.simhash16(lower($"text")).as("simhash"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fast == decl)
+  }
+
   test("kernels agree between codegen and interpreted eval") {
-    def run(): Seq[Seq[Long]] = {
+    def run(): Seq[(Seq[Long], Long)] = {
       texts.toDF("text")
         .select(TextFunctions.minhash_sig(
-          TextFunctions.shingle_hashes(lower($"text"))).as("sig"))
-        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+          TextFunctions.shingle_hashes(lower($"text"))).as("sig"),
+          TextFunctions.simhash16(lower($"text")).as("sh"))
+        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1))).toSeq
     }
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val interp = run()
