@@ -21,6 +21,10 @@ import graft.synth.Pages
   *     [--osmosis-replication-base-url=U] [--single-file]
   *   graft.Cli import-pgdump <copyDir> <tablesDir>  pg_dump COPY text → tables
   *   graft.Cli export-pgdump <tablesDir> <copyDir>  tables → COPY text dump
+  *   graft.Cli apply-osc <in.osm.pbf> <oscDir> <out.osm.pbf>
+  *     apply replication diffs (.osc/.osc.gz) to a snapshot: highest
+  *     version per (kind,id) wins, deletes drop out; the output is a
+  *     new snapshot (directory form; --single-file supported)
   *   graft.Cli admin <in.osm.pbf> <outDir>       admin multipolygons + covers
   *   graft.Cli join <in.osm.pbf> <nPages> <outDir>  spatial join + knn + tiles
   */
@@ -135,6 +139,14 @@ object Cli {
             t("relation_tags"), t("relation_members"), t("users"),
             t("changesets")), out)
           println(s"[graft] exported COPY dump $in -> $out")
+        case "apply-osc" :: in :: oscDir :: out :: Nil =>
+          val updated = graft.streaming.Replication.applyDiffs(spark,
+            PbfRead.read(spark, in), graft.streaming.OscRead.read(spark, oscDir))
+          PbfWrite.write(spark, updated, out,
+            info = PbfWrite.PbfInfo(calcBBox = true,
+              source = Some("apply-osc")),
+            singleFile = opts.contains("single-file"))
+          println(s"[graft] applied $oscDir to $in -> $out")
         case "admin" :: in :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in)).cache()
           areas.toDF().write.mode("overwrite").parquet(s"$out/admin_areas")

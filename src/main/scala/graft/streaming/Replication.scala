@@ -37,6 +37,29 @@ object Replication {
         })
   }
 
+  /** BATCH replication apply: snapshot + parsed .osc diffs → the new
+    * snapshot (one map-side-combined reduce per (kind, id), highest
+    * version wins; deletes — visible=false winners — drop out, exactly
+    * like a non-historical extract). Ties (same version) break on
+    * (tsMillis, changeset) so the result is deterministic at any
+    * parallelism; a diff that "wins" a tie with identical meta is the
+    * same element. Pairs with [[OscRead.read]] on one side and
+    * [[graft.pbf.PbfWrite.write]] on the other for the end-to-end
+    * `apply-osc` CLI path. */
+  def applyDiffs(spark: SparkSession, snapshot: Dataset[OsmEntity],
+      diffs: Dataset[OsmEntity]): Dataset[OsmEntity] = {
+    import spark.implicits._
+    snapshot.union(diffs)
+      .groupByKey(e => (e.kind, e.id))
+      .reduceGroups { (a, b) =>
+        val ka = (a.version, a.tsMillis, a.changeset)
+        val kb = (b.version, b.tsMillis, b.changeset)
+        if (Ordering[(Int, Long, Long)].gteq(ka, kb)) a else b
+      }
+      .map(_._2)
+      .filter(_.visible)
+  }
+
   final case class DedupDoc(docId: Long, fp: Long)
 
   /** Streaming exact dedup for a document stream (training-data

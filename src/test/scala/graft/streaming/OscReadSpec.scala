@@ -84,6 +84,44 @@ class OscReadSpec extends AnyFunSuite {
     assert(err.getMessage.contains("x.osc"))
   }
 
+  test("apply-osc end-to-end: fixture snapshot + diffs -> new PBF snapshot") {
+    val fixture = "/root/reference/tests/fixtures/niue-230612.osm.pbf"
+    val snap = graft.pbf.PbfRead.read(spark, fixture)
+    val someNode = snap.filter(e => e.kind == OsmKind.Node && e.visible).head()
+    val someWay = snap.filter(e => e.kind == OsmKind.Way && e.visible).head()
+    val dir = Files.createTempDirectory("graft-osc-apply").toString
+    val osc =
+      s"""<?xml version='1.0' encoding='UTF-8'?>
+         |<osmChange version="0.6" generator="test">
+         |<create>
+         |  <node id="999999999" version="1" timestamp="2024-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="1.5" lon="2.5"/>
+         |</create>
+         |<modify>
+         |  <node id="${someNode.id}" version="${someNode.version + 1}" timestamp="2024-01-01T00:00:00Z" changeset="1" uid="1" user="u" lat="3.5" lon="4.5"/>
+         |</modify>
+         |<delete>
+         |  <way id="${someWay.id}" version="${someWay.version + 1}" timestamp="2024-01-01T00:00:00Z" changeset="1" uid="1" user="u"/>
+         |</delete>
+         |</osmChange>
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "diff.osc"), osc.getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-osc-out").toString + "/new.osm.pbf"
+    val updated = Replication.applyDiffs(spark, snap, OscRead.read(spark, dir))
+    graft.pbf.PbfWrite.write(spark, updated, out, partitions = 2)
+    val back = graft.pbf.PbfRead.read(spark, out).cache()
+    // create landed
+    val created = back.filter(_.id == 999999999L).collect()
+    assert(created.length == 1 && created.head.lat7.contains(15000000L))
+    // modify won by version
+    val mod = back.filter(e => e.kind == OsmKind.Node && e.id == someNode.id).collect()
+    assert(mod.length == 1 && mod.head.version == someNode.version + 1
+      && mod.head.lat7.contains(35000000L))
+    // delete dropped out
+    assert(back.filter(e => e.kind == OsmKind.Way && e.id == someWay.id).isEmpty)
+    // everything else untouched: +1 created node, -1 deleted way
+    assert(back.count() == snap.filter(_.visible).count())
+  }
+
   test("an .osc replayed through upsertLatest matches the batch latest-version oracle") {
     val dir = Files.createTempDirectory("graft-osc-stream").toString
     Files.write(java.nio.file.Paths.get(dir, "d1.osc"), osc1.getBytes("UTF-8"))
