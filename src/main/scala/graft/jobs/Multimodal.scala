@@ -226,6 +226,51 @@ object Multimodal {
     out
   }
 
+  /** REAL image resize on decoded pixels: nearest-neighbour sampling
+    * implemented directly (floor source mapping) — deterministic to
+    * the pixel on any JVM, unlike Graphics2D rasterizer paths whose
+    * filtering may vary by platform. */
+  def resizeImage(img: java.awt.image.BufferedImage, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    require(w > 0 && h > 0)
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Dataset-level resize: image rows are decoded, resized, re-encoded
+    * as PNG with meta updated to the new dims; non-image rows (and
+    * undecodable payloads) pass through untouched. Same mapPartitions-
+    * friendly per-row shape as [[extractFeatures]]. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      if (row.kind != "image") row
+      else decodeImage(row.bytes) match {
+        case Some(img) =>
+          val r = resizeImage(img, w, h)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          javax.imageio.ImageIO.write(r, "png", ios)
+          ios.close()
+          row.copy(bytes = bos.toByteArray,
+            meta = row.meta.copy(width = w, height = h))
+        case None => row
+      }
+    }
+  }
+
   /** ??? STUB ??? (video only, plus the fallback for undecodable
     * payloads) A real implementation demuxes the container and decodes
     * frames; no video decoder ships in this container, so this

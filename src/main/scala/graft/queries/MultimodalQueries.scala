@@ -39,7 +39,21 @@ object MultimodalQueries {
               xxhash64(col("frameBytes"))).as("h0"))
           .groupBy("kind")
           .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
-        featDigest.union(frameDigest).orderBy("kind")
+        // resize verb: image rows resized 7×5 (real pixel-deterministic
+        // NN resample + PNG re-encode), then decoded AGAIN and feature-
+        // extracted — the digest witnesses the full decode→resize→
+        // encode→decode chain, not just the resize call
+        val resizeDigest = Multimodal.extractFeatures(
+            Multimodal.resizeImages(media, 7, 5)).toDF()
+          .filter(col("kind") === "image")
+          .select(lit("image_resized").as("kind"),
+            xxhash64(col("mediaId"), col("dim"),
+              aggregate(transform(col("feature"),
+                x => round(x.cast("double") * 1000, 0).cast("long")),
+                lit(0L), (a, v) => a + v)).as("h0"))
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
+        featDigest.union(frameDigest).union(resizeDigest).orderBy("kind")
       },
       Some(GeoGolden.multimodalSql))
   )

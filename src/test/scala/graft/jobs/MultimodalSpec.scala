@@ -126,6 +126,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbour resize is pixel-exact and round-trips through PNG") {
+    val img = Multimodal.decodeImage(externalPng).get // 4×3 gray ramp
+    val r = Multimodal.resizeImage(img, 2, 1)
+    assert(r.getWidth == 2 && r.getHeight == 1)
+    // floor mapping: (0,0)←(0,0)=10 gray, (1,0)←(2,0)=50 gray
+    assert((r.getRGB(0, 0) & 0xffffff) == 0x0a0a0a)
+    assert((r.getRGB(1, 0) & 0xffffff) == 0x323232)
+    // dataset-level: image rows get new dims + re-encoded PNG payload;
+    // audio/video rows pass through untouched
+    val resized = Multimodal.resizeImages(media, 7, 5).collect()
+    for (row <- resized) {
+      if (row.kind == "image") {
+        assert(row.meta.width == 7 && row.meta.height == 5)
+        val back = Multimodal.decodeImage(row.bytes).get
+        assert(back.getWidth == 7 && back.getHeight == 5)
+      }
+    }
+    val orig = media.collect().map(r2 => r2.mediaId -> r2).toMap
+    for (row <- resized if row.kind != "image")
+      assert(java.util.Arrays.equals(row.bytes, orig(row.mediaId).bytes))
+  }
+
   test("frame sampling fan-out matches metadata") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
     val videos = media.filter(_.kind == "video").collect()

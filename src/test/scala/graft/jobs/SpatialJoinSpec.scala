@@ -141,6 +141,19 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("kNN shuffle-degraded path (broadcast bound exceeded) is output-identical") {
+    val base = SpatialJoin.run(spark, pagesDf, areas)
+    // knnBroadcastMaxRows = 0 forces EVERY centre-index join onto the
+    // shuffle_hash path — the plan the engine degrades to at planet
+    // centre counts; cost may change, the result must not
+    val degraded = SpatialJoin.run(spark, pagesDf, areas,
+      SpatialJoin.Params(knnBroadcastMaxRows = 0L))
+    val a = base.knn.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = degraded.knn.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("salted join output is identical to unsalted (J8)") {
     val base = SpatialJoin.run(spark, pagesDf, areas)
     val salted = SpatialJoin.run(spark, pagesDf, areas,
