@@ -44,8 +44,7 @@ object MultimodalQueries {
         // extracted — the digest witnesses the full decode→resize→
         // encode→decode chain, not just the resize call
         val resizeDigest = Multimodal.extractFeatures(
-            Multimodal.resizeImages(media, 7, 5)).toDF()
-          .filter(col("kind") === "image")
+            Multimodal.resizeImages(media.filter(_.kind == "image"), 7, 5)).toDF()
           .select(lit("image_resized").as("kind"),
             xxhash64(col("mediaId"), col("dim"),
               aggregate(transform(col("feature"),
