@@ -47,8 +47,20 @@ object Pipeline {
       SpatialJoin.tiles(joinedDf, p.tileZoom)
     }
 
+    val (_, sKnn) = Snapshot.stage(spark, root, "knn",
+      Seq(sAreas.key, s"pages:$nPages",
+        s"knn:${p.knnLevel}:${p.knnMaxRing}")) {
+      val centres = areasDf
+        .filter(col("complete") && col("centreLat7").isNotNull &&
+          col("centreLon7").isNotNull)
+        .select(col("relationId").as("relation_id"),
+          col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
+      val pts = SpatialJoin.geoparsedPoints(Pages.generate(spark, nPages))
+      SpatialJoin.knnCentres(spark, pts, centres, p)
+    }
+
     RunReport(Map(
       "admin_areas" -> sAreas, "cover" -> sCover,
-      "join" -> sJoin, "tiles" -> sTiles))
+      "join" -> sJoin, "tiles" -> sTiles, "knn" -> sKnn))
   }
 }

@@ -121,6 +121,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"ANN must never degrade to an all-pairs join:\n$plan")
   }
 
+  test("text LSH plans stay bucketed equi-joins (no cartesian/nested-loop)") {
+    for (q <- Seq("q_dedup_minhash_lsh", "q_ngram_jaccard_lsh")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay a band-bucket equi-join plan:\n$plan")
+    }
+  }
+
   test("as-of and range joins never degrade to nested-loop/cartesian plans") {
     for (q <- Seq("q_asof_join", "q_range_join")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
