@@ -48,6 +48,27 @@ object EmbedRT {
     }
     new GenericArrayData(out)
   }
+
+  /** Integer dot product of two quantized vectors (|q|≤~2·10^4, dim 64
+    * ⇒ |dot| ≤ 64·4·10^8 < 2^53 — exact in DuckDB doubles too). */
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n, "dimension mismatch")
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Integer squared L2 distance of two quantized vectors. */
+  def l2q(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n, "dimension mismatch")
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    s
+  }
 }
 
 /** lsh_buckets(q ARRAY<BIGINT>) → ARRAY<BIGINT> of 4 16-bit bucket ids. */
@@ -62,7 +83,39 @@ case class LshBucketsExpr(q: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): LshBucketsExpr = copy(c)
 }
 
+/** vec_dot(a, b) → BIGINT integer dot product of quantized vectors. */
+case class VecDotExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    EmbedRT.dot(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expr.EmbedRT.dot($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotExpr =
+    copy(a = l, b = r)
+}
+
+/** vec_l2q(a, b) → BIGINT integer squared L2 distance. */
+case class VecL2qExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    EmbedRT.l2q(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expr.EmbedRT.l2q($l, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2qExpr =
+    copy(a = l, b = r)
+}
+
 object EmbedFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
   def lsh_buckets(q: Column): Column = column(LshBucketsExpr(expression(q)))
+  def vec_dot(a: Column, b: Column): Column =
+    column(VecDotExpr(expression(a), expression(b)))
+  def vec_l2q(a: Column, b: Column): Column =
+    column(VecL2qExpr(expression(a), expression(b)))
 }

@@ -104,6 +104,57 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) nearest neighbour — the second ANN family
+    * beside [[annTopK]]'s LSH, with a DATA-DEPENDENT coarse quantizer:
+    *  - kSeeds centroids picked by a deterministic rule (smallest ids
+    *    with vec_id % 7 == 1 — no RNG, so the DuckDB oracle reproduces
+    *    the index bit-for-bit; a production build would Lloyd-iterate
+    *    from these seeds, which only moves centroids, not the shape);
+    *  - every vector joins the broadcast seed table once (kSeeds rows —
+    *    bounded by the parameter, never by the corpus) and is ranked
+    *    by EXACT integer L2 via the codegen vec_l2q kernel; rank 1 is
+    *    its inverted-list assignment, ranks ≤ nProbe are its probe
+    *    targets. The ranking window ships THIN rows (no vectors);
+    *    vectors re-join by id afterwards.
+    *  - probe side joins assignment side on the seed id (list-bucketed
+    *    equi-join, candidate count ≈ nProbe · n/kSeeds per query —
+    *    kSeeds scales with n at 100 TB, keeping lists near-constant),
+    *    scored by the same exact quantized-cosine key as the LSH path.
+    * Output: (vec_id, ann_id). */
+  def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2): DataFrame = {
+    val seeds = corpus.filter(pmod(col("vec_id"), lit(7)) === 1)
+      .orderBy("vec_id").limit(kSeeds)
+      .select(col("vec_id").as("sid"), col("q").as("sq"))
+    val ranked = corpus.select(col("vec_id"), col("q"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"),
+        EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("sid"))
+    val thin = ranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe).select("vec_id", "sid", "rn")
+    val qtab = corpus.select(col("vec_id"), col("q"), col("qq"))
+    val assign = thin.filter(col("rn") === 1).join(qtab, "vec_id")
+      .select(col("vec_id").as("b_id"), col("sid"),
+        col("q").as("qb"), col("qq").as("qqb"))
+    val probe = thin.join(qtab, "vec_id")
+      .select(col("vec_id").as("a_id"), col("sid"),
+        col("q").as("qa"), col("qq").as("qqa"))
+    // a pair reachable through both probes scores identically twice —
+    // the argmin absorbs duplicates, cheaper than a distinct (same
+    // trade as the fused LSH k=1 path)
+    val scored = probe.join(assign, Seq("sid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot", EmbedFunctions.vec_dot(col("qa"), col("qb")))
+      .withColumn("key", {
+        val den = col("qqa").cast("double") * col("qqb").cast("double")
+        val num = col("dot").cast("double") * col("dot").cast("double")
+        when(col("dot") < 0, -(num / den)).otherwise(num / den)
+      })
+    scored.groupBy(col("a_id"))
+      .agg(min(struct(negate(col("key")), col("b_id"))).as("m"))
+      .select(col("a_id").as("vec_id"), col("m.b_id").as("ann_id"))
+  }
+
   /** CORRECTNESS BASELINE — deliberately quadratic, NOT the scale path.
     * The whole corpus is collected to the driver, broadcast, and scanned
     * per row in a dense kernel (the same memory contract as a broadcast
@@ -158,9 +209,10 @@ object Similarity {
     f.select(col("vec_id"), quantize(col("embedding")).as("q"))
   }
 
-  /** Shared DuckDB CTE chain for the twin-planted ANN corpus; `slice`
-    * injects the fixture-slice predicate. */
-  private def annSqlCtes(slice: String): String =
+  /** DuckDB CTE chain for the twin-planted quantized corpus `cc`;
+    * `slice` injects the fixture-slice predicate. Shared by the LSH
+    * and IVF oracles. */
+  private def corpusSqlCtes(slice: String): String =
     s"""base AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS q
        |  FROM embeddings$slice),
@@ -174,7 +226,11 @@ object Similarity {
        |    list_transform(q, x -> CAST(x AS DOUBLE)) AS qd,
        |    list_sum(list_transform(q, x -> CAST(x*x AS DOUBLE))) AS qq
        |  FROM c0),
-       |cc AS (SELECT * FROM c WHERE qq > 0),
+       |cc AS (SELECT * FROM c WHERE qq > 0)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the LSH ANN over that corpus. */
+  private def annSqlCtes(slice: String): String =
+    s"""${corpusSqlCtes(slice)},
        |hp AS (SELECT t, k,
        |    list_transform(range(0, 64), i ->
        |      CAST((2654435761 * ((t*16+k)*64 + i + 1)) % 1000003 - 501001 AS DOUBLE)) AS w
@@ -237,6 +293,38 @@ object Similarity {
           .orderBy("vec_id")
       },
       Some(s"""WITH ${annSqlCtes("")}
+             |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
+             |ORDER BY vec_id""".stripMargin)),
+
+    // second ANN family: IVF with a data-dependent (deterministic)
+    // coarse quantizer — full DuckDB oracle reproduces index + probe
+    QueryDef(
+      "q_embed_ann_ivf",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = false)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        ivfTop1(corpus).orderBy("vec_id")
+      },
+      Some(s"""WITH ${corpusSqlCtes("")},
+             |seeds AS (SELECT vec_id AS sid, q AS sq FROM cc
+             |  WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 256),
+             |ranked AS (SELECT cc.vec_id, s.sid,
+             |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, len(cc.q)+1),
+             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
+             |      s.sid) AS rn
+             |  FROM cc, seeds s),
+             |assign AS (SELECT r.vec_id AS b_id, r.sid, cb.qd AS qbd, cb.qq AS qqb
+             |  FROM ranked r JOIN cc cb ON cb.vec_id = r.vec_id WHERE r.rn = 1),
+             |probe AS (SELECT r.vec_id AS a_id, r.sid, ca.qd AS qad, ca.qq AS qqa
+             |  FROM ranked r JOIN cc ca ON ca.vec_id = r.vec_id WHERE r.rn <= 2),
+             |sc AS (SELECT p.a_id, a.b_id,
+             |    list_inner_product(p.qad, a.qbd) AS dot, p.qqa*a.qqb AS den
+             |  FROM probe p JOIN assign a ON a.sid = p.sid AND a.b_id <> p.a_id),
+             |ann AS (SELECT a_id, b_id FROM (
+             |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY
+             |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * (dot*dot) / den DESC,
+             |    b_id) AS rk FROM sc) WHERE rk = 1)
              |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
              |ORDER BY vec_id""".stripMargin)),
 

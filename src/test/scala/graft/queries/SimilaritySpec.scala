@@ -82,6 +82,26 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"overall recall@1 = $recall%.3f")
     assert(recall >= 0.90, f"overall recall $recall%.3f below floor")
   }
+
+  test("ANN-IVF finds the planted twin and tracks the true top-1") {
+    val got = SparkEntry.queries("q_embed_ann_ivf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "probed inverted lists must produce candidates")
+    val baseIds = qvecs.keySet
+    val twinHits = baseIds.count(id => got.get(id).contains(id + 1000000L))
+    val twinRecall = twinHits.toDouble / baseIds.size
+    info(f"IVF twin recall@1 = $twinRecall%.3f (coverage ${got.size}/${corpus.size})")
+    // twin pairs are nearly parallel, so they land in the same or an
+    // adjacent inverted list; nProbe=2 must recover ≥ 90% of them
+    assert(twinRecall >= 0.90, f"IVF twin recall $twinRecall%.3f below floor")
+    val trueNN = corpus.map { case (id, v) =>
+      id -> corpus.toSeq.filter(_._1 != id).map { case (o, ov) => (-key(v, ov), o) }.min._2
+    }
+    val hits = got.count { case (id, ann) => trueNN(id) == ann }
+    val recall = hits.toDouble / corpus.size
+    info(f"IVF overall recall@1 = $recall%.3f")
+    assert(recall >= 0.85, f"IVF overall recall $recall%.3f below floor")
+  }
 }
 
 private object SparkEntry {
