@@ -105,28 +105,53 @@ object Similarity {
   }
 
   /** IVF (inverted-file) nearest neighbour — the second ANN family
-    * beside [[annTopK]]'s LSH, with a DATA-DEPENDENT coarse quantizer:
-    *  - kSeeds centroids picked by a deterministic rule (smallest ids
-    *    with vec_id % 7 == 1 — no RNG, so the DuckDB oracle reproduces
-    *    the index bit-for-bit; a production build would Lloyd-iterate
-    *    from these seeds, which only moves centroids, not the shape);
-    *  - every vector joins the broadcast seed table once (kSeeds rows —
-    *    bounded by the parameter, never by the corpus) and is ranked
-    *    by EXACT integer L2 via the codegen vec_l2q kernel; rank 1 is
-    *    its inverted-list assignment, ranks ≤ nProbe are its probe
-    *    targets. The ranking window ships THIN rows (no vectors);
-    *    vectors re-join by id afterwards.
+    * beside [[annTopK]]'s LSH, with a DATA-DEPENDENT k-means coarse
+    * quantizer:
+    *  - kSeeds initial centroids picked by a deterministic rule
+    *    (smallest ids with vec_id % 7 == 1 — no RNG), then
+    *    `lloydIters` Lloyd iterations with integer-exact centroid
+    *    means, so the DuckDB oracle reproduces the TRAINED index
+    *    bit-for-bit;
+    *  - every vector joins the broadcast centroid table once (kSeeds
+    *    rows — bounded by the parameter, never by the corpus) and is
+    *    ranked by EXACT integer L2 via the codegen vec_l2q kernel;
+    *    rank 1 is its inverted-list assignment, ranks ≤ nProbe are its
+    *    probe targets. The ranking window ships THIN rows (no
+    *    vectors); vectors re-join by id afterwards.
     *  - probe side joins assignment side on the seed id (list-bucketed
     *    equi-join, candidate count ≈ nProbe · n/kSeeds per query —
     *    kSeeds scales with n at 100 TB, keeping lists near-constant),
     *    scored by the same exact quantized-cosine key as the LSH path.
     * Output: (vec_id, ann_id). */
-  def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2): DataFrame = {
-    val seeds = corpus.filter(pmod(col("vec_id"), lit(7)) === 1)
+  def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
+      lloydIters: Int = 2): DataFrame = {
+    val qonly = corpus.select(col("vec_id"), col("q"))
+    var centroids = corpus.filter(pmod(col("vec_id"), lit(7)) === 1)
       .orderBy("vec_id").limit(kSeeds)
       .select(col("vec_id").as("sid"), col("q").as("sq"))
+    // Lloyd iterations, fully deterministic and integer-exact: assign
+    // by exact integer L2 (ties → smallest sid), recompute centroids
+    // as per-dimension integer means (sum div count — both engines
+    // truncate toward zero, proven by the oracle on real negative
+    // sums). Empty clusters drop out on both sides identically. Each
+    // iteration is one broadcast argmin + one n×dim partial-agg
+    // shuffle — O(n·kSeeds·dim) work, no driver loops over data.
+    for (_ <- 1 to lloydIters) {
+      val assigned = qonly.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("sid"),
+          EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("sid"))).as("m"))
+        .select(col("vec_id"), col("m.sid").as("sid"))
+      centroids = assigned.join(qonly, "vec_id")
+        .select(col("sid"), posexplode(col("q")))
+        .groupBy("sid", "pos")
+        .agg(expr("sum(col) div count(1)").as("v"))
+        .groupBy("sid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("sq"))
+    }
     val ranked = corpus.select(col("vec_id"), col("q"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("sid"),
         EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("sid"))
@@ -308,12 +333,37 @@ object Similarity {
       Some(s"""WITH ${corpusSqlCtes("")},
              |seeds AS (SELECT vec_id AS sid, q AS sq FROM cc
              |  WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 256),
+             |dims AS (SELECT unnest(range(1, 65)) AS i),
+             |a1 AS (SELECT vec_id, sid FROM (
+             |  SELECT cc.vec_id, s.sid, row_number() OVER (
+             |    PARTITION BY cc.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, len(cc.q)+1),
+             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
+             |      s.sid) AS rn
+             |  FROM cc, seeds s) WHERE rn = 1),
+             |m1 AS (SELECT a.sid, d.i,
+             |    CAST(sum(cc.q[d.i]) AS BIGINT) // count(*) AS v
+             |  FROM a1 a JOIN cc ON cc.vec_id = a.vec_id CROSS JOIN dims d
+             |  GROUP BY a.sid, d.i),
+             |c1 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m1 GROUP BY sid),
+             |a2 AS (SELECT vec_id, sid FROM (
+             |  SELECT cc.vec_id, s.sid, row_number() OVER (
+             |    PARTITION BY cc.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, len(cc.q)+1),
+             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
+             |      s.sid) AS rn
+             |  FROM cc, c1 s) WHERE rn = 1),
+             |m2 AS (SELECT a.sid, d.i,
+             |    CAST(sum(cc.q[d.i]) AS BIGINT) // count(*) AS v
+             |  FROM a2 a JOIN cc ON cc.vec_id = a.vec_id CROSS JOIN dims d
+             |  GROUP BY a.sid, d.i),
+             |c2 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m2 GROUP BY sid),
              |ranked AS (SELECT cc.vec_id, s.sid,
              |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
              |      list_sum(list_transform(range(1, len(cc.q)+1),
              |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
              |      s.sid) AS rn
-             |  FROM cc, seeds s),
+             |  FROM cc, c2 s),
              |assign AS (SELECT r.vec_id AS b_id, r.sid, cb.qd AS qbd, cb.qq AS qqb
              |  FROM ranked r JOIN cc cb ON cb.vec_id = r.vec_id WHERE r.rn = 1),
              |probe AS (SELECT r.vec_id AS a_id, r.sid, ca.qd AS qad, ca.qq AS qqa
