@@ -142,9 +142,25 @@ object Cli {
         case "apply-osc" :: in :: oscDir :: out :: Nil =>
           val updated = graft.streaming.Replication.applyDiffs(spark,
             PbfRead.read(spark, in), graft.streaming.OscRead.read(spark, oscDir))
+          // replication state must survive the apply or the output
+          // cannot drive the NEXT incremental apply: flags win, else
+          // the input snapshot's header values carry forward (the .osc
+          // payload itself carries no sequence — advancing it is the
+          // caller's job via --osmosis-replication-sequence-number,
+          // exactly as with `export`)
+          val inHdr = PbfRead.readHeader(spark, in)
           PbfWrite.write(spark, updated, out,
             info = PbfWrite.PbfInfo(calcBBox = true,
-              source = Some("apply-osc")),
+              source = Some("apply-osc"),
+              replicationTimestamp =
+                opts.get("osmosis-replication-timestamp").map(_.toLong)
+                  .orElse(inHdr.replicationTimestamp),
+              replicationSequence =
+                opts.get("osmosis-replication-sequence-number").map(_.toLong)
+                  .orElse(inHdr.replicationSequence),
+              replicationBaseUrl =
+                opts.get("osmosis-replication-base-url")
+                  .orElse(inHdr.replicationBaseUrl)),
             singleFile = opts.contains("single-file"))
           println(s"[graft] applied $oscDir to $in -> $out")
         case "admin" :: in :: out :: Nil =>
@@ -161,7 +177,9 @@ object Cli {
           o.tileCounts.write.mode("overwrite").parquet(s"$out/tiles")
           println(s"[graft] join outputs -> $out")
         case other =>
-          System.err.println(s"usage: import|export|admin|join ... (got: $other)")
+          System.err.println(
+            "usage: import|export|import-pgdump|export-pgdump|apply-osc|" +
+              s"admin|join ... (see graft.Cli scaladoc; got: $other)")
           sys.exit(2)
       }
     }

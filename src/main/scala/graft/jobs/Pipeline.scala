@@ -50,13 +50,8 @@ object Pipeline {
     val (_, sKnn) = Snapshot.stage(spark, root, "knn",
       Seq(sAreas.key, s"pages:$nPages",
         s"knn:${p.knnLevel}:${p.knnMaxRing}")) {
-      val centres = areasDf
-        .filter(col("complete") && col("centreLat7").isNotNull &&
-          col("centreLon7").isNotNull)
-        .select(col("relationId").as("relation_id"),
-          col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
       val pts = SpatialJoin.geoparsedPoints(Pages.generate(spark, nPages))
-      SpatialJoin.knnCentres(spark, pts, centres, p)
+      SpatialJoin.knnCentres(spark, pts, SpatialJoin.centresOf(areasDf), p)
     }
 
     RunReport(Map(

@@ -260,6 +260,16 @@ object SpatialJoin {
   final case class Prepared(cover: Dataset[CoverRowEx], polygons: DataFrame,
       centres: DataFrame)
 
+  /** Centre projection shared by [[prepare]] and the snapshot pipeline
+    * (one definition, so the kNN centre contract cannot drift between
+    * the interactive and resumable paths): complete areas with a
+    * defined centre, in the kNN column layout. */
+  def centresOf(areas: DataFrame): DataFrame = areas
+    .filter(col("complete") && col("centreLat7").isNotNull &&
+      col("centreLon7").isNotNull)
+    .select(col("relationId").as("relation_id"),
+      col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
+
   def prepare(spark: SparkSession, areas: Dataset[AdminArea],
       p: Params = Params()): Prepared = {
     val complete = areas.filter(_.complete).cache()
@@ -267,11 +277,7 @@ object SpatialJoin {
       .localCheckpoint() // materialize: read many times (levels + join)
     val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
       .localCheckpoint()
-    val centres = complete
-      .filter((a: AdminArea) => a.centreLat7.isDefined && a.centreLon7.isDefined)
-      .select(col("relationId").as("relation_id"),
-        col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
-      .localCheckpoint()
+    val centres = centresOf(complete.toDF()).localCheckpoint()
     Prepared(cover, polygons, centres)
   }
 

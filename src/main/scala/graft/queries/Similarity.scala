@@ -155,8 +155,13 @@ object Similarity {
       .select(col("vec_id"), col("sid"),
         EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("sid"))
+    // materialize the thin ranking (n·nProbe rows, 3 longs each): it
+    // feeds BOTH the assign and probe branches, and without the
+    // checkpoint the n·kSeeds ranking window re-executes per consumer
+    // whenever exchange reuse fails to dedupe it
     val thin = ranked.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe).select("vec_id", "sid", "rn")
+      .localCheckpoint()
     val qtab = corpus.select(col("vec_id"), col("q"), col("qq"))
     val assign = thin.filter(col("rn") === 1).join(qtab, "vec_id")
       .select(col("vec_id").as("b_id"), col("sid"),

@@ -30,16 +30,26 @@ class EmbedExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
-  test("vector kernels agree between codegen and interpreted eval") {
+  test("vector kernel codegen COMPILES and matches forced-interpreted eval") {
+    // factoryMode, not the wholeStage flag: CODEGEN_ONLY + fallback=off
+    // makes a broken doGenCode THROW instead of silently falling back
+    // to interpreted eval (which would make this comparison vacuous);
+    // NO_CODEGEN forces the nullSafeEval path
     def run(): Seq[(Long, Long)] = vecs.toDF("a", "b")
       .select(EmbedFunctions.vec_dot($"a", $"b"),
         EmbedFunctions.vec_l2q($"a", $"b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val interp = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    val fused = run()
-    assert(interp == fused)
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fused = run()
+      assert(interp == fused)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
   }
 
   test("dimension mismatch fails loudly") {

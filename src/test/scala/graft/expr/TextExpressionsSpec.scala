@@ -88,10 +88,19 @@ class TextExpressionsSpec extends AnyFunSuite {
           TextFunctions.simhash16(lower($"text")).as("sh"))
         .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1))).toSeq
     }
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val interp = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    val fused = run()
-    assert(interp == fused)
+    // factoryMode (not the wholeStage flag): CODEGEN_ONLY + fallback
+    // off makes a broken doGenCode THROW instead of silently falling
+    // back to interpreted eval; NO_CODEGEN forces nullSafeEval
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fused = run()
+      assert(interp == fused)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
   }
 }
