@@ -209,11 +209,12 @@ object Bench {
     // warm-up AND build the shared Niue fixture caches (areas +
     // prepared cover) that the geo queries reuse — so the alphabetically
     // first row (q_admin_area2) reports its true cost, not the warm-up.
-    // q_dedup_minhash_lsh additionally compiles the shingle/minhash
-    // codegen shared by the dedup family, whose alphabetically FIRST
-    // member (q_dedup_clusters) otherwise absorbs ~1.5 s of one-time
-    // compilation that belongs to no single query
-    for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh"))
+    // q_dedup_minhash_lsh / q_embed_ann_lsh additionally compile the
+    // text and embedding kernel paths shared by their families, whose
+    // alphabetically FIRST members (q_dedup_clusters, q_embed_ann_ivf)
+    // otherwise absorb ~1.5 s of one-time compilation + fixture read
+    // that belongs to no single query
+    for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
