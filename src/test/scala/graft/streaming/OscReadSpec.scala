@@ -67,6 +67,36 @@ class OscReadSpec extends AnyFunSuite {
     assert(d(0).lat7.contains(1L) && d(0).lon7.contains(1799999999L))
   }
 
+  test("malformed structure fails loudly: entity outside an action block, unknown child") {
+    val loose =
+      """<?xml version='1.0'?><osmChange version="0.6">
+        |  <node id="1" version="1" timestamp="2024-01-01T00:00:00Z"/>
+        |</osmChange>""".stripMargin
+    val e1 = intercept[java.io.IOException] {
+      OscRead.parseBytes("loose.osc", loose.getBytes("UTF-8"))
+    }
+    assert(e1.getCause.getMessage.contains("outside a create/modify/delete"))
+    val badChild =
+      """<?xml version='1.0'?><osmChange version="0.6"><create>
+        |  <node id="1" version="1" timestamp="2024-01-01T00:00:00Z" lat="0" lon="0">
+        |    <bogus attr="1"/>
+        |  </node>
+        |</create></osmChange>""".stripMargin
+    val e2 = intercept[java.io.IOException] {
+      OscRead.parseBytes("bad.osc", badChild.getBytes("UTF-8"))
+    }
+    assert(e2.getCause.getMessage.contains("bogus"))
+    // XXE hardening: a DTD must be rejected, not resolved
+    val xxe =
+      """<?xml version='1.0'?><!DOCTYPE osmChange [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+        |<osmChange version="0.6"><create>
+        |  <node id="1" version="1" timestamp="2024-01-01T00:00:00Z" lat="0" lon="0" user="&x;"/>
+        |</create></osmChange>""".stripMargin
+    intercept[java.io.IOException] {
+      OscRead.parseBytes("xxe.osc", xxe.getBytes("UTF-8"))
+    }
+  }
+
   test("distributed read handles plain and gzipped files; bad XML fails loudly") {
     val dir = Files.createTempDirectory("graft-osc").toString
     Files.write(java.nio.file.Paths.get(dir, "a.osc"), osc1.getBytes("UTF-8"))
