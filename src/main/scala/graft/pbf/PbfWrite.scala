@@ -278,9 +278,13 @@ object PbfWrite {
     // destination delete would otherwise lose both outputs)
     if (singleFile) {
       // compatibility concat: every byte re-passes through one driver
-      // stream — fine for extracts, wrong for planet-scale outputs
-      fs0.delete(new Path(path), true) // may be a prior directory-form output
-      val out = fs0.create(new Path(path), true)
+      // stream — fine for extracts, wrong for planet-scale outputs.
+      // Concat lands in a SIBLING temp file first, so a driver crash
+      // mid-concat leaves the previous destination intact; the no-output
+      // window shrinks to the final delete→rename pair.
+      val concatTmp = new Path(path + ".commit")
+      fs0.delete(concatTmp, true)
+      val out = fs0.create(concatTmp, true)
       val parts = fs0.listStatus(new Path(tmp)).map(_.getPath)
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       for (p <- parts) {
@@ -291,6 +295,9 @@ object PbfWrite {
         in.close()
       }
       out.close()
+      fs0.delete(new Path(path), true) // may be a prior directory-form output
+      require(fs0.rename(concatTmp, new Path(path)),
+        s"commit rename failed; concatenated output preserved at $concatTmp")
       fs0.delete(new Path(tmp), true)
     } else {
       fs0.delete(new Path(path), true)

@@ -124,12 +124,17 @@ object OscRead {
     var id = 0L; var version = 0; var ts = 0L
     var changeset = 0L; var uid = -1; var user = ""
     var lat: Option[Long] = None; var lon: Option[Long] = None
+    // id/version are the element's IDENTITY — silently defaulting them
+    // would merge every malformed element into (kind, 0) version 0
+    // downstream, so their absence fails loudly like every other
+    // malformation here
+    var hasId = false; var hasVersion = false
     var i = 0
     while (i < r.getAttributeCount) {
       val v = r.getAttributeValue(i)
       r.getAttributeLocalName(i) match {
-        case "id" => id = v.toLong
-        case "version" => version = v.toInt
+        case "id" => id = v.toLong; hasId = true
+        case "version" => version = v.toInt; hasVersion = true
         case "timestamp" => ts = tsMillis(v)
         case "changeset" => changeset = v.toLong
         case "uid" => uid = v.toInt
@@ -140,6 +145,8 @@ object OscRead {
       }
       i += 1
     }
+    require(hasId, s"missing attribute id on <$elem>")
+    require(hasVersion, s"missing attribute version on <$elem>")
     val visible = action != "delete"
     val tags = Vector.newBuilder[OsmTag]
     val refs = Vector.newBuilder[Long]

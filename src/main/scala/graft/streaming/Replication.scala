@@ -41,9 +41,12 @@ object Replication {
     * snapshot (one map-side-combined reduce per (kind, id), highest
     * version wins; deletes — visible=false winners — drop out, exactly
     * like a non-historical extract). Ties (same version) break on
-    * (tsMillis, changeset) so the result is deterministic at any
-    * parallelism; a diff that "wins" a tie with identical meta is the
-    * same element. Pairs with [[OscRead.read]] on one side and
+    * (tsMillis, changeset), then — because reduceGroups pairs operands
+    * in nondeterministic order — on a FINAL deterministic discriminator
+    * over the payload itself (visible flag, then a structural hash), so
+    * even a meta-identical pair with different payloads (e.g. a
+    * redacted element) resolves to the same winner at any parallelism.
+    * Pairs with [[OscRead.read]] on one side and
     * [[graft.pbf.PbfWrite.write]] on the other for the end-to-end
     * `apply-osc` CLI path. */
   def applyDiffs(spark: SparkSession, snapshot: Dataset[OsmEntity],
@@ -52,9 +55,11 @@ object Replication {
     snapshot.union(diffs)
       .groupByKey(e => (e.kind, e.id))
       .reduceGroups { (a, b) =>
-        val ka = (a.version, a.tsMillis, a.changeset)
-        val kb = (b.version, b.tsMillis, b.changeset)
-        if (Ordering[(Int, Long, Long)].gteq(ka, kb)) a else b
+        // case-class structural hash: MurmurHash3 over primitives,
+        // Strings and Seqs — deterministic across JVMs/executors
+        val ka = (a.version, a.tsMillis, a.changeset, a.visible, a.##)
+        val kb = (b.version, b.tsMillis, b.changeset, b.visible, b.##)
+        if (Ordering[(Int, Long, Long, Boolean, Int)].gteq(ka, kb)) a else b
       }
       .map(_._2)
       .filter(_.visible)

@@ -42,6 +42,8 @@ class PbfWriteSpec extends AnyFunSuite {
     val f = new java.io.File(outPath)
     assert(f.isFile, "single-file mode must produce one plain file")
     assert(!new java.io.File(outPath + ".staging").exists(), "staging dir removed")
+    assert(!new java.io.File(outPath + ".commit").exists(),
+      "concat temp renamed over the destination, not left behind")
     assert(PbfRead.readHeader(spark, outPath).optionalFeatures
       .contains("Sort.Type_then_ID"))
     assert(Normalize.diffCount(osm, PbfRead.read(spark, outPath)) == 0)

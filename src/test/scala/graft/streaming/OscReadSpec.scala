@@ -86,6 +86,24 @@ class OscReadSpec extends AnyFunSuite {
       OscRead.parseBytes("bad.osc", badChild.getBytes("UTF-8"))
     }
     assert(e2.getCause.getMessage.contains("bogus"))
+    // identity attributes may not default: a node missing id (or
+    // version) would otherwise merge into (kind, 0) v0 downstream
+    val noId =
+      """<?xml version='1.0'?><osmChange version="0.6"><create>
+        |  <node version="1" timestamp="2024-01-01T00:00:00Z" lat="0" lon="0"/>
+        |</create></osmChange>""".stripMargin
+    val e3 = intercept[java.io.IOException] {
+      OscRead.parseBytes("noid.osc", noId.getBytes("UTF-8"))
+    }
+    assert(e3.getCause.getMessage.contains("missing attribute id"))
+    val noVer =
+      """<?xml version='1.0'?><osmChange version="0.6"><delete>
+        |  <way id="9" timestamp="2024-01-01T00:00:00Z"/>
+        |</delete></osmChange>""".stripMargin
+    val e4 = intercept[java.io.IOException] {
+      OscRead.parseBytes("nover.osc", noVer.getBytes("UTF-8"))
+    }
+    assert(e4.getCause.getMessage.contains("missing attribute version"))
     // XXE hardening: a DTD must be rejected, not resolved
     val xxe =
       """<?xml version='1.0'?><!DOCTYPE osmChange [<!ENTITY x SYSTEM "file:///etc/hostname">]>

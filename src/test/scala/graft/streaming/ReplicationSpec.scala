@@ -45,6 +45,29 @@ class ReplicationSpec extends AnyFunSuite {
     assert(n1v2 == 1)
   }
 
+  test("applyDiffs resolves meta-identical ties deterministically (payload discriminator)") {
+    // same (version, tsMillis, changeset) but different payloads — e.g.
+    // a redacted element: the winner must not depend on reduceGroups'
+    // pairing order. Run the reduction at several parallelism levels
+    // and in both union orders; all must agree.
+    val a = entity(OsmKind.Node, 1, 3).copy(user = "original",
+      tags = Seq(graft.model.OsmTag("name", "x")))
+    val b = a.copy(user = "redacted", tags = Nil)
+    val expected =
+      if (Ordering[(Boolean, Int)].gteq((a.visible, a.##), (b.visible, b.##))) a else b
+    for (nPart <- Seq(1, 7); flip <- Seq(false, true)) {
+      val (s1, s2) = if (flip) (Seq(b), Seq(a)) else (Seq(a), Seq(b))
+      val got = Replication.applyDiffs(spark,
+        s1.toDS().repartition(nPart), s2.toDS().repartition(nPart)).collect()
+      assert(got.toSeq == Seq(expected), s"nPart=$nPart flip=$flip")
+    }
+    // a visible winner beats an invisible one at equal meta (visible
+    // ranks first in the discriminator)
+    val del = a.copy(visible = false, tags = Nil, user = "")
+    val got2 = Replication.applyDiffs(spark, Seq(del).toDS(), Seq(a).toDS()).collect()
+    assert(got2.toSeq == Seq(a))
+  }
+
   test("streaming exact dedup emits one keeper per fingerprint across micro-batches") {
     val dir = Files.createTempDirectory("graft-dedup").toString
     // batch 1: docs 1,2 distinct + doc 3 duplicating doc 1's fp
