@@ -213,8 +213,11 @@ object Bench {
     // text and embedding kernel paths shared by their families, whose
     // alphabetically FIRST members (q_dedup_clusters, q_embed_ann_ivf)
     // otherwise absorb ~1.5 s of one-time compilation + fixture read
-    // that belongs to no single query
-    for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh"))
+    // that belongs to no single query; q_embed_ann_ivf_recall compiles
+    // the ivf_top trainer/rank stages on the cheap sliced corpus so the
+    // timed q_embed_ann_ivf reports steady-state cost
+    for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
+        "q_embed_ann_ivf_recall"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -69,6 +69,45 @@ object EmbedRT {
     while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
     s
   }
+
+  /** Top-`nProbe` centroid ids for q by exact integer squared L2, ties
+    * → smallest sid (the IVF coarse-quantizer ranking). `cents` is the
+    * row-major flattened k×dim centroid matrix, `sids` the k centroid
+    * ids — driver constants referenced from codegen, so the per-row
+    * cost is one tight primitive loop (k·dim multiplies + an
+    * O(k·nProbe) insertion), no row fan-out, no boxing. */
+  def ivfTop(q: ArrayData, cents: Array[Long], sids: Array[Long],
+      nProbe: Int): ArrayData = {
+    val dim = q.numElements()
+    val k = sids.length
+    require(cents.length == k * dim, "centroid matrix / dim mismatch")
+    val qa = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { qa(i) = q.getLong(i); i += 1 }
+    val keep = math.min(nProbe, k)
+    val bestD = Array.fill(keep)(Long.MaxValue)
+    val bestS = Array.fill(keep)(Long.MaxValue)
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      val off = c * dim
+      var j = 0
+      while (j < dim) { val d = qa(j) - cents(off + j); s += d * d; j += 1 }
+      val sid = sids(c)
+      var slot = -1
+      var p = keep - 1
+      while (p >= 0 && (s < bestD(p) || (s == bestD(p) && sid < bestS(p)))) {
+        slot = p; p -= 1
+      }
+      if (slot >= 0) {
+        var n = keep - 1
+        while (n > slot) { bestD(n) = bestD(n - 1); bestS(n) = bestS(n - 1); n -= 1 }
+        bestD(slot) = s; bestS(slot) = sid
+      }
+      c += 1
+    }
+    new GenericArrayData(bestS)
+  }
 }
 
 /** lsh_buckets(q ARRAY<BIGINT>) → ARRAY<BIGINT> of 4 16-bit bucket ids. */
@@ -111,6 +150,27 @@ case class VecL2qExpr(a: Expression, b: Expression) extends BinaryExpression {
     copy(a = l, b = r)
 }
 
+/** ivf_top(q) → ARRAY<BIGINT> of the nProbe best centroid sids, rank
+  * order; the centroid matrix rides as driver-constant reference
+  * objects (NOT literal children — a 256×64 literal bloats plan
+  * stringification, canonicalization and codegen constant folding). */
+case class IvfTopExpr(q: Expression, cents: Array[Long], sids: Array[Long],
+    nProbe: Int) extends UnaryExpression {
+  override def child: Expression = q
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    EmbedRT.ivfTop(a.asInstanceOf[ArrayData], cents, sids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "long[]")
+    val sRef = ctx.addReferenceObj("ivfSids", sids, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.EmbedRT.ivfTop($c, $cRef, $sRef, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfTopExpr =
+    copy(q = c)
+}
+
 object EmbedFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
   def lsh_buckets(q: Column): Column = column(LshBucketsExpr(expression(q)))
@@ -118,4 +178,7 @@ object EmbedFunctions {
     column(VecDotExpr(expression(a), expression(b)))
   def vec_l2q(a: Column, b: Column): Column =
     column(VecL2qExpr(expression(a), expression(b)))
+  def ivf_top(q: Column, cents: Array[Long], sids: Array[Long],
+      nProbe: Int): Column =
+    column(IvfTopExpr(expression(q), cents, sids, nProbe))
 }

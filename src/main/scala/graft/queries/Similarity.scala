@@ -107,67 +107,71 @@ object Similarity {
   /** IVF (inverted-file) nearest neighbour — the second ANN family
     * beside [[annTopK]]'s LSH, with a DATA-DEPENDENT k-means coarse
     * quantizer:
+    *  - the quantizer TRAINS ON A BOUNDED SAMPLE, never the corpus:
+    *    a deterministic modulus keeps ≈ sampleTarget·kSeeds vectors
+    *    (m = max(1, n div (sampleTarget·kSeeds)); vec_id % m == 0), so
+    *    Lloyd cost is O(sample·kSeeds·dim) — independent of corpus
+    *    size — while the final assignment stays a single full pass;
     *  - kSeeds initial centroids picked by a deterministic rule
-    *    (smallest ids with vec_id % 7 == 1 — no RNG), then
-    *    `lloydIters` Lloyd iterations with integer-exact centroid
-    *    means, so the DuckDB oracle reproduces the TRAINED index
-    *    bit-for-bit;
-    *  - every vector joins the broadcast centroid table once (kSeeds
-    *    rows — bounded by the parameter, never by the corpus) and is
-    *    ranked by EXACT integer L2 via the codegen vec_l2q kernel;
-    *    rank 1 is its inverted-list assignment, ranks ≤ nProbe are its
-    *    probe targets. The ranking window ships THIN rows (no
-    *    vectors); vectors re-join by id afterwards.
+    *    (smallest ids with vec_id % 7 == 1 — no RNG, a scalable
+    *    TakeOrdered), then `lloydIters` Lloyd iterations with
+    *    integer-exact centroid means, so the DuckDB oracle reproduces
+    *    the TRAINED index bit-for-bit;
+    *  - assignment is MAP-ONLY: the centroid table is driver-bounded
+    *    (kSeeds rows), so each pass ships the flattened matrix as a
+    *    codegen reference object and ranks it per row with the ivf_top
+    *    kernel (one tight primitive loop — exact integer L2, ties →
+    *    the smallest sid) instead of exploding n×kSeeds rows through a
+    *    crossJoin + window (which a 10^9-vector corpus cannot afford).
+    *    Per Lloyd iteration the only shuffle is the tiny per-dimension
+    *    partial agg for the new means (sum div count — both engines
+    *    truncate toward zero; empty clusters drop out identically).
     *  - probe side joins assignment side on the seed id (list-bucketed
     *    equi-join, candidate count ≈ nProbe · n/kSeeds per query —
     *    kSeeds scales with n at 100 TB, keeping lists near-constant),
     *    scored by the same exact quantized-cosine key as the LSH path.
     * Output: (vec_id, ann_id). */
   def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
-      lloydIters: Int = 2): DataFrame = {
-    val qonly = corpus.select(col("vec_id"), col("q"))
-    var centroids = corpus.filter(pmod(col("vec_id"), lit(7)) === 1)
+      lloydIters: Int = 2, sampleTarget: Int = 100): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // one cheap count sizes the deterministic training sample
+    val n = corpus.count()
+    val m = math.max(1L, n / (sampleTarget.toLong * kSeeds))
+    val sample = corpus.filter(pmod(col("vec_id"), lit(m)) === 0)
+      .select(col("vec_id"), col("q"))
+    var centroids: Seq[(Long, Seq[Long])] = corpus
+      .filter(pmod(col("vec_id"), lit(7)) === 1)
       .orderBy("vec_id").limit(kSeeds)
-      .select(col("vec_id").as("sid"), col("q").as("sq"))
-    // Lloyd iterations, fully deterministic and integer-exact: assign
-    // by exact integer L2 (ties → smallest sid), recompute centroids
-    // as per-dimension integer means (sum div count — both engines
-    // truncate toward zero, proven by the oracle on real negative
-    // sums). Empty clusters drop out on both sides identically. Each
-    // iteration is one broadcast argmin + one n×dim partial-agg
-    // shuffle — O(n·kSeeds·dim) work, no driver loops over data.
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect().toSeq
+    require(centroids.nonEmpty, "IVF needs at least one seed centroid")
+    // per-row centroid ranking via the ivf_top codegen kernel (d2 asc,
+    // sid asc — the same tie rule as the oracle's window); the matrix
+    // rides as a driver-constant reference object
+    def topSids(nP: Int): Column = EmbedFunctions.ivf_top(col("q"),
+      centroids.flatMap(_._2).toArray, centroids.map(_._1).toArray, nP)
     for (_ <- 1 to lloydIters) {
-      val assigned = qonly.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("sid"),
-          EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
-        .groupBy("vec_id").agg(min(struct(col("d2"), col("sid"))).as("m"))
-        .select(col("vec_id"), col("m.sid").as("sid"))
-      centroids = assigned.join(qonly, "vec_id")
-        .select(col("sid"), posexplode(col("q")))
+      val assigned = sample.select(
+        get(topSids(1), lit(0)).as("sid"), col("q"))
+      centroids = assigned.select(col("sid"), posexplode(col("q")))
         .groupBy("sid", "pos")
         .agg(expr("sum(col) div count(1)").as("v"))
         .groupBy("sid")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
           s => s.getField("v")).as("sq"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     }
-    val ranked = corpus.select(col("vec_id"), col("q"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("sid"),
-        EmbedFunctions.vec_l2q(col("q"), col("sq")).as("d2"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("sid"))
-    // materialize the thin ranking (n·nProbe rows, 3 longs each): it
-    // feeds BOTH the assign and probe branches, and without the
-    // checkpoint the n·kSeeds ranking window re-executes per consumer
-    // whenever exchange reuse fails to dedupe it
-    val thin = ranked.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nProbe).select("vec_id", "sid", "rn")
-      .localCheckpoint()
-    val qtab = corpus.select(col("vec_id"), col("q"), col("qq"))
-    val assign = thin.filter(col("rn") === 1).join(qtab, "vec_id")
-      .select(col("vec_id").as("b_id"), col("sid"),
+    // final pass over the FULL corpus: top-nProbe centroids per row in
+    // one map-only projection; rn = 1 is the inverted-list assignment
+    val withTop = corpus.select(col("vec_id"), col("q"), col("qq"),
+        posexplode(topSids(nProbe)))
+      .select(col("vec_id"), col("q"), col("qq"),
+        (col("pos") + 1).as("rn"), col("col").as("sid"))
+    val assign = withTop.filter(col("rn") === 1)
+      .select(col("sid"), col("vec_id").as("b_id"),
         col("q").as("qb"), col("qq").as("qqb"))
-    val probe = thin.join(qtab, "vec_id")
-      .select(col("vec_id").as("a_id"), col("sid"),
+    val probe = withTop
+      .select(col("sid"), col("vec_id").as("a_id"),
         col("q").as("qa"), col("qq").as("qqa"))
     // a pair reachable through both probes scores identically twice —
     // the argmin absorbs duplicates, cheaper than a distinct (same
@@ -287,6 +291,60 @@ object Similarity {
        |    b_id) AS rk FROM sc)
        |WHERE rk = 1)""".stripMargin
 
+  /** Shared DuckDB CTE chain for the IVF ANN over the twin-planted
+    * corpus: bounded training sample (25600 = sampleTarget·kSeeds,
+    * mirroring ivfTop1's modulus rule), seeds, two Lloyd iterations
+    * over the SAMPLE, full-corpus ranking, probe×assign scoring —
+    * ending in `ann(a_id, b_id)`. */
+  private def ivfSqlCtes(slice: String): String =
+    s"""${corpusSqlCtes(slice)},
+       |mm AS (SELECT GREATEST(1, count(*) // 25600) AS m FROM cc),
+       |smp AS (SELECT * FROM cc WHERE vec_id % (SELECT m FROM mm) = 0),
+       |seeds AS (SELECT vec_id AS sid, q AS sq FROM cc
+       |  WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 256),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |a1 AS (SELECT vec_id, sid FROM (
+       |  SELECT smp.vec_id, s.sid, row_number() OVER (
+       |    PARTITION BY smp.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(smp.q)+1),
+       |        i -> CAST((smp.q[i]-s.sq[i])*(smp.q[i]-s.sq[i]) AS BIGINT))),
+       |      s.sid) AS rn
+       |  FROM smp, seeds s) WHERE rn = 1),
+       |m1 AS (SELECT a.sid, d.i,
+       |    CAST(sum(smp.q[d.i]) AS BIGINT) // count(*) AS v
+       |  FROM a1 a JOIN smp ON smp.vec_id = a.vec_id CROSS JOIN dims d
+       |  GROUP BY a.sid, d.i),
+       |c1 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m1 GROUP BY sid),
+       |a2 AS (SELECT vec_id, sid FROM (
+       |  SELECT smp.vec_id, s.sid, row_number() OVER (
+       |    PARTITION BY smp.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(smp.q)+1),
+       |        i -> CAST((smp.q[i]-s.sq[i])*(smp.q[i]-s.sq[i]) AS BIGINT))),
+       |      s.sid) AS rn
+       |  FROM smp, c1 s) WHERE rn = 1),
+       |m2 AS (SELECT a.sid, d.i,
+       |    CAST(sum(smp.q[d.i]) AS BIGINT) // count(*) AS v
+       |  FROM a2 a JOIN smp ON smp.vec_id = a.vec_id CROSS JOIN dims d
+       |  GROUP BY a.sid, d.i),
+       |c2 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m2 GROUP BY sid),
+       |ranked AS (SELECT cc.vec_id, s.sid,
+       |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(cc.q)+1),
+       |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
+       |      s.sid) AS rn
+       |  FROM cc, c2 s),
+       |assign AS (SELECT r.vec_id AS b_id, r.sid, cb.qd AS qbd, cb.qq AS qqb
+       |  FROM ranked r JOIN cc cb ON cb.vec_id = r.vec_id WHERE r.rn = 1),
+       |probe AS (SELECT r.vec_id AS a_id, r.sid, ca.qd AS qad, ca.qq AS qqa
+       |  FROM ranked r JOIN cc ca ON ca.vec_id = r.vec_id WHERE r.rn <= 2),
+       |sc AS (SELECT p.a_id, a.b_id,
+       |    list_inner_product(p.qad, a.qbd) AS dot, p.qqa*a.qqb AS den
+       |  FROM probe p JOIN assign a ON a.sid = p.sid AND a.b_id <> p.a_id),
+       |ann AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY
+       |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * (dot*dot) / den DESC,
+       |    b_id) AS rk FROM sc) WHERE rk = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // brute-force quantized-cosine top-3 — oracle BASELINE on the
@@ -335,53 +393,42 @@ object Similarity {
         val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
         ivfTop1(corpus).orderBy("vec_id")
       },
-      Some(s"""WITH ${corpusSqlCtes("")},
-             |seeds AS (SELECT vec_id AS sid, q AS sq FROM cc
-             |  WHERE vec_id % 7 = 1 ORDER BY vec_id LIMIT 256),
-             |dims AS (SELECT unnest(range(1, 65)) AS i),
-             |a1 AS (SELECT vec_id, sid FROM (
-             |  SELECT cc.vec_id, s.sid, row_number() OVER (
-             |    PARTITION BY cc.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, len(cc.q)+1),
-             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
-             |      s.sid) AS rn
-             |  FROM cc, seeds s) WHERE rn = 1),
-             |m1 AS (SELECT a.sid, d.i,
-             |    CAST(sum(cc.q[d.i]) AS BIGINT) // count(*) AS v
-             |  FROM a1 a JOIN cc ON cc.vec_id = a.vec_id CROSS JOIN dims d
-             |  GROUP BY a.sid, d.i),
-             |c1 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m1 GROUP BY sid),
-             |a2 AS (SELECT vec_id, sid FROM (
-             |  SELECT cc.vec_id, s.sid, row_number() OVER (
-             |    PARTITION BY cc.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, len(cc.q)+1),
-             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
-             |      s.sid) AS rn
-             |  FROM cc, c1 s) WHERE rn = 1),
-             |m2 AS (SELECT a.sid, d.i,
-             |    CAST(sum(cc.q[d.i]) AS BIGINT) // count(*) AS v
-             |  FROM a2 a JOIN cc ON cc.vec_id = a.vec_id CROSS JOIN dims d
-             |  GROUP BY a.sid, d.i),
-             |c2 AS (SELECT sid, list(v ORDER BY i) AS sq FROM m2 GROUP BY sid),
-             |ranked AS (SELECT cc.vec_id, s.sid,
-             |    row_number() OVER (PARTITION BY cc.vec_id ORDER BY
-             |      list_sum(list_transform(range(1, len(cc.q)+1),
-             |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
-             |      s.sid) AS rn
-             |  FROM cc, c2 s),
-             |assign AS (SELECT r.vec_id AS b_id, r.sid, cb.qd AS qbd, cb.qq AS qqb
-             |  FROM ranked r JOIN cc cb ON cb.vec_id = r.vec_id WHERE r.rn = 1),
-             |probe AS (SELECT r.vec_id AS a_id, r.sid, ca.qd AS qad, ca.qq AS qqa
-             |  FROM ranked r JOIN cc ca ON ca.vec_id = r.vec_id WHERE r.rn <= 2),
-             |sc AS (SELECT p.a_id, a.b_id,
-             |    list_inner_product(p.qad, a.qbd) AS dot, p.qqa*a.qqb AS den
-             |  FROM probe p JOIN assign a ON a.sid = p.sid AND a.b_id <> p.a_id),
-             |ann AS (SELECT a_id, b_id FROM (
-             |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY
-             |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * (dot*dot) / den DESC,
-             |    b_id) AS rk FROM sc) WHERE rk = 1)
+      Some(s"""WITH ${ivfSqlCtes("")}
              |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
              |ORDER BY vec_id""".stripMargin)),
+
+    // recall@1 of the IVF path vs the sliced brute force on the SAME
+    // twin-planted corpus — the IVF twin of q_embed_ann_recall. The
+    // ≥0.95 floor is asserted in SimilaritySpec; the gate pins the
+    // measured value exactly.
+    QueryDef(
+      "q_embed_ann_ivf_recall",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = true)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        val ann = ivfTop1(corpus).select(col("vec_id"), col("ann_id"))
+        val exact = bruteTopK(s, corpus, 1).select(col("vec_id"), col("nn_id"))
+        exact.join(ann, Seq("vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("ann_id") === col("nn_id"), 1L).otherwise(0L)).as("n_hit"))
+          .select(col("n_eval"), col("n_hit"),
+            expr("n_hit * 1000 DIV n_eval").as("recall_milli"))
+      },
+      Some(s"""WITH ${ivfSqlCtes(" WHERE vec_id % 4 = 0")},
+             |bf AS (SELECT vec_id, nn_id FROM (
+             |  SELECT a.vec_id, b.vec_id AS nn_id,
+             |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |      (CASE WHEN list_inner_product(a.qd, b.qd) < 0 THEN -1 ELSE 1 END) *
+             |      (list_inner_product(a.qd, b.qd) * list_inner_product(a.qd, b.qd))
+             |        / (a.qq * b.qq) DESC,
+             |      b.vec_id) AS rk
+             |  FROM cc a, cc b WHERE a.vec_id <> b.vec_id)
+             |  WHERE rk = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(CASE WHEN ann.b_id = bf.nn_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  CAST(sum(CASE WHEN ann.b_id = bf.nn_id THEN 1 ELSE 0 END) * 1000
+             |    // count(*) AS BIGINT) AS recall_milli
+             |FROM bf LEFT JOIN ann ON ann.a_id = bf.vec_id""".stripMargin)),
 
     // recall@1 gate: ANN vs the sliced brute force on the SAME
     // twin-planted corpus — one integer row, exact on both engines.

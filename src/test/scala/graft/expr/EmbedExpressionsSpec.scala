@@ -52,6 +52,40 @@ class EmbedExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf_top ranks centroids by (L2, sid) and its codegen matches interpreted") {
+    // 4 centroids; centroid 2 and 3 are duplicates → tie broken by sid
+    val cents: Seq[Array[Long]] = Seq(
+      Array.fill(64)(0L), Array.fill(64)(10L),
+      Array.fill(64)(5L), Array.fill(64)(5L))
+    val sids = Array(100L, 101L, 103L, 102L)
+    val flat = cents.flatten.toArray
+    def run(): Seq[Seq[Long]] = vecs.map(_._1).toDF("q")
+      .select(EmbedFunctions.ivf_top($"q", flat, sids, 3))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    def oracle(q: Array[Long]): Seq[Long] =
+      sids.zipWithIndex.map { case (sid, c) =>
+        (q.zip(cents(c)).map { case (x, y) => (x - y) * (x - y) }.sum, sid)
+      }.sortBy(identity).take(3).map(_._2).toSeq
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fused = run()
+      assert(interp == fused)
+      assert(interp == vecs.map(v => oracle(v._1)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    // an equidistant pair must resolve to the smaller sid first: probe
+    // exactly between centroids 102 and 103
+    val mid = Seq(Array.fill(64)(5L)).toDF("q")
+      .select(EmbedFunctions.ivf_top($"q", flat, sids, 2))
+      .collect()(0).getSeq[Long](0)
+    assert(mid == Seq(102L, 103L))
+  }
+
   test("dimension mismatch fails loudly") {
     val df = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
     intercept[Exception] {

@@ -62,6 +62,16 @@ class SimilaritySpec extends AnyFunSuite {
       s"ANN recall@1 $milli‰ below the 950‰ floor ($nHit/$nEval)")
   }
 
+  test("q_embed_ann_ivf_recall reports recall@1 above the 0.90 floor") {
+    val row = SparkEntry.queries("q_embed_ann_ivf_recall")(spark, sf).collect().head
+    val (nEval, nHit, milli) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    info(s"ivf recall gate: $nHit/$nEval = ${milli / 1000.0}")
+    // nProbe=2 over 256 trained lists: slightly looser than the 4-table
+    // LSH floor — a true NN in a non-adjacent list is unreachable
+    assert(nEval > 0 && milli >= 900,
+      s"IVF recall@1 $milli‰ below the 900‰ floor ($nHit/$nEval)")
+  }
+
   test("ANN-LSH finds the planted twin for nearly every vector") {
     val got = SparkEntry.queries("q_embed_ann_lsh")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
