@@ -216,8 +216,11 @@ object Bench {
     // that belongs to no single query; q_embed_ann_ivf_recall compiles
     // the ivf_top trainer/rank stages on the cheap sliced corpus so the
     // timed q_embed_ann_ivf reports steady-state cost
+    // q_page_knn warms its own kNN stage codegen (its constants differ
+    // from q_knn_centres', so the latter's classes don't cache-hit) —
+    // the timed row then reports steady-state like the dedup/LSH rows
     for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
-        "q_embed_ann_ivf_recall"))
+        "q_embed_ann_ivf_recall", "q_page_knn"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

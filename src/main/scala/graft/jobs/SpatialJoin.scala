@@ -151,21 +151,39 @@ object SpatialJoin {
     *    glvl into that range lets their index carry only those few
     *    levels instead of all knnLevel+1 (the round-2 broadcast-width
     *    problem at 10^6 planet centres). */
+  /** Materialized kNN centre side: checkpointed rows + their count.
+    * The count decides the broadcast-vs-shuffle strategy in
+    * [[knnCentres]] (see `hinted` there); building it once per centre
+    * dataset — e.g. inside [[Prepared]] — lets every page batch reuse
+    * one materialization instead of re-checkpointing + recounting the
+    * centre derivation per call. */
+  final case class CentreIndex(centres: DataFrame, nCentres: Long)
+  object CentreIndex {
+    def of(centres: DataFrame): CentreIndex = {
+      // one cheap count of the SMALL side decides the join strategy
+      // (the same move containmentJoin makes for its cover levels);
+      // the count makes this eager, and checkpointing first makes it
+      // pay for itself — the centre-derivation plan materializes ONCE
+      // instead of re-running under each of the three index builds.
+      val m = centres.localCheckpoint()
+      CentreIndex(m, m.count())
+    }
+  }
+
   def knnCentres(spark: SparkSession, points: DataFrame,
-      centres: DataFrame, p: Params): DataFrame = {
+      centres: DataFrame, p: Params): DataFrame =
+    knnCentres(spark, points, CentreIndex.of(centres), p)
+
+  def knnCentres(spark: SparkSession, points: DataFrame,
+      centreIdx: CentreIndex, p: Params): DataFrame = {
     require(p.knnLevel >= 1, "knnLevel must be >= 1")
-    // one cheap count of the SMALL side decides the join strategy below
-    // (the same move containmentJoin makes for its cover levels): each
-    // centre-index broadcast hint is kept only while its exploded row
-    // count stays under knnBroadcastMaxRows — beyond that the hint
+    // each centre-index broadcast hint is kept only while its exploded
+    // row count stays under knnBroadcastMaxRows — beyond that the hint
     // would force an unbounded broadcast, so the plain equi-join ships
     // instead and AQE/size-stats pick shuffled-hash. Cost, never
-    // result: every branch joins the same rows either way. The count
-    // makes this method eager; checkpointing first makes it pay for
-    // itself — the centre-derivation plan materializes ONCE instead of
-    // re-running under each of the three index builds below.
-    val centresM = centres.localCheckpoint()
-    val nCentres = centresM.count()
+    // result: every branch joins the same rows either way.
+    val centresM = centreIdx.centres
+    val nCentres = centreIdx.nCentres
     def hinted(idx: DataFrame, estRows: Long): DataFrame =
       if (estRows <= p.knnBroadcastMaxRows) broadcast(idx)
       // merely dropping the hint is NOT enough: Catalyst's Generate
@@ -256,9 +274,11 @@ object SpatialJoin {
   }
 
   /** Prepared polygon side: built once, reused across page batches —
-    * the cover is a property of the admin dataset, not of the pages. */
+    * the cover is a property of the admin dataset, not of the pages.
+    * `centreIdx` carries the materialized centre rows + count so every
+    * batch's kNN skips the per-call checkpoint + recount. */
   final case class Prepared(cover: Dataset[CoverRowEx], polygons: DataFrame,
-      centres: DataFrame)
+      centres: DataFrame, centreIdx: CentreIndex)
 
   /** Centre projection shared by [[prepare]] and the snapshot pipeline
     * (one definition, so the kNN centre contract cannot drift between
@@ -278,7 +298,7 @@ object SpatialJoin {
     val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
       .localCheckpoint()
     val centres = centresOf(complete.toDF()).localCheckpoint()
-    Prepared(cover, polygons, centres)
+    Prepared(cover, polygons, centres, CentreIndex.of(centres))
   }
 
   def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea],
@@ -292,7 +312,7 @@ object SpatialJoin {
       p: Params): Outputs = {
     val pts = geoparsedPoints(pages)
     val joined = containmentJoin(spark, pts, prep.cover, prep.polygons, p)
-    new Outputs(joined, () => knnCentres(spark, pts, prep.centres, p),
+    new Outputs(joined, () => knnCentres(spark, pts, prep.centreIdx, p),
       tiles(joined, p.tileZoom))
   }
 }
