@@ -6,14 +6,13 @@ import graft.jobs.Multimodal
 import graft.synth.Pages
 import graft.util.QueryDef
 
-/** Driver gate for the multimodal batch plumbing. Image and audio rows
-  * take REAL JDK decodes (imageio pixels, sampled-audio PCM); video
-  * decode is a documented stub — no video decoder ships in the
-  * container — but the schema, mapPartitions batching, and frame
-  * fan-out are real and deterministic, so all outputs freeze into a
-  * digest golden like the other fixture-derived queries. Feature floats
-  * are exact multiples of 1/1000 with sub-16.7M numerators by
-  * construction, so the ×1000 quantization is lossless. */
+/** Driver gate for the multimodal batch plumbing. All three media
+  * kinds take REAL JDK decodes: imageio pixels for images, sampled-
+  * audio PCM for audio, and RIFF demux + per-frame JPEG decode for
+  * MJPEG-AVI video; outputs freeze into a digest golden like the other
+  * fixture-derived queries. Feature floats are exact multiples of
+  * 1/1000 with sub-16.7M numerators by construction, so the ×1000
+  * quantization is lossless. */
 object MultimodalQueries {
 
   /** The synthetic media table is a SESSION-scoped fixture (PNG/WAV
@@ -43,8 +42,8 @@ object MultimodalQueries {
           .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
         val frameDigest = Multimodal.sampleFrames(media).toDF()
           .select(lit("video_frames").as("kind"),
-            xxhash64(col("mediaId"), col("frameIdx"),
-              xxhash64(col("frameBytes"))).as("h0"))
+            xxhash64(col("mediaId"), col("frameIdx"), col("width"),
+              col("height"), xxhash64(col("pixels"))).as("h0"))
           .groupBy("kind")
           .agg(count(lit(1)).as("n"), expr("bit_xor(h0)").as("h"))
         // resize verb: image rows resized 7×5 (real pixel-deterministic
