@@ -109,6 +109,53 @@ object Snapshot {
     }
   }
 
+  /** Remove superseded stage versions: for each stage NAME keep the
+    * newest `keep` manifests (by commit time), then close the retained
+    * set over manifest lineage — a key referenced (transitively) by any
+    * retained manifest survives even if its own stage name has newer
+    * versions, so every retained stage can still resume AND re-derive.
+    * Returns the dropped keys. Lineage entries that are not manifest
+    * keys (free-form provenance like `pbf:<path>`) are ignored. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, "keep must be >= 1")
+    val f = fs(spark, root)
+    val manDir = new Path(s"$root/_manifests")
+    if (!f.exists(manDir)) return Nil
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    final case class Man(key: String, stage: String, at: Long,
+        lineage: Seq[String], path: Path)
+    val mans = f.listStatus(manDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .map { p =>
+        val m = mapper.readTree(readAll(f, p))
+        val lin = if (m.has("lineage"))
+          (0 until m.get("lineage").size()).map(m.get("lineage").get(_).asText())
+        else Seq.empty[String]
+        Man(m.get("key").asText(), m.get("stage").asText(),
+          m.get("committedAt").asLong(), lin, p)
+      }.toSeq
+    val byKey = mans.map(m => m.key -> m).toMap
+    var retained = mans.groupBy(_.stage).values
+      .flatMap(_.sortBy(m => (-m.at, m.key)).take(keep)).map(_.key).toSet
+    var frontier = retained
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(k => byKey.get(k).toSeq.flatMap(_.lineage))
+        .filter(byKey.contains) -- retained
+      retained ++= next
+      frontier = next
+    }
+    val dropped = mans.filterNot(m => retained(m.key)).sortBy(_.key)
+    // manifest FIRST, data second: a crash mid-vacuum then leaves at
+    // worst orphaned data with no manifest, which the next stage() call
+    // under that key overwrites on recompute — the reverse order would
+    // leave a manifest pointing at deleted data, and resume would fail
+    for (m <- dropped) {
+      f.delete(m.path, false)
+      f.delete(new Path(s"$root/${m.key}"), true)
+    }
+    dropped.map(_.key)
+  }
+
   private def readAll(f: FileSystem, p: Path): Array[Byte] = {
     val in = f.open(p)
     try {

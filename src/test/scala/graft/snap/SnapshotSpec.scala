@@ -73,6 +73,53 @@ class SnapshotSpec extends AnyFunSuite {
     assert(tree.get("schema").get("fields").size() == 2)
   }
 
+  test("vacuum drops superseded versions, keeps lineage-referenced keys, resume still works") {
+    val dir = Files.createTempDirectory("graft-snap-vac").toString
+    // chain: base(v1) -> derived(base1); then base re-staged with new
+    // inputs (v2) WITHOUT re-deriving — derived still references
+    // base(v1) in its lineage
+    val (_, base1) = Snapshot.stage(spark, dir, "base", Seq("in:v1")) {
+      spark.range(5).toDF()
+    }
+    val (_, der1) = Snapshot.stage(spark, dir, "derived", Seq(base1.key)) {
+      spark.range(3).toDF()
+    }
+    Thread.sleep(5) // committedAt orders v1 < v2
+    val (_, base2) = Snapshot.stage(spark, dir, "base", Seq("in:v2")) {
+      spark.range(7).toDF()
+    }
+    // keep=1: base keeps only v2 BY NAME, but v1 must survive — the
+    // retained derived manifest references it in its lineage
+    assert(Snapshot.vacuum(spark, dir, keep = 1).isEmpty)
+    assert(Files.exists(Paths.get(dir, base1.key)),
+      "lineage-referenced old version must survive")
+    // once a NEWER derived supersedes der1, nothing references base1:
+    // both drop together
+    Thread.sleep(5)
+    val (_, der2) = Snapshot.stage(spark, dir, "derived", Seq(base2.key)) {
+      spark.range(4).toDF()
+    }
+    val dropped = Snapshot.vacuum(spark, dir, keep = 1)
+    assert(dropped.toSet == Set(der1.key, base1.key), s"dropped=$dropped")
+    assert(!Files.exists(Paths.get(dir, der1.key)))
+    assert(!Files.exists(Paths.get(dir, "_manifests", der1.key + ".json")))
+    assert(!Files.exists(Paths.get(dir, base1.key)))
+    // retained stages resume without recompute from the kept versions
+    val (_, base2b) = Snapshot.stage(spark, dir, "base", Seq("in:v2")) {
+      fail("must resume"): org.apache.spark.sql.DataFrame
+    }
+    assert(base2b.resumed && base2b.rows == 7)
+    val (_, der2b) = Snapshot.stage(spark, dir, "derived", Seq(base2.key)) {
+      fail("must resume"): org.apache.spark.sql.DataFrame
+    }
+    assert(der2b.resumed && der2b.rows == 4)
+    // a vacuumed key is not poisoned: re-staging it recomputes cleanly
+    val (_, base1b) = Snapshot.stage(spark, dir, "base", Seq("in:v1")) {
+      spark.range(5).toDF()
+    }
+    assert(!base1b.resumed && base1b.rows == 5 && base1b.key == base1.key)
+  }
+
   test("different inputs get a different snapshot key (lineage-addressed)") {
     val r4 = Pipeline.run(spark, fixture, 3000, root)
     val r2 = Pipeline.run(spark, fixture, 2000, root)
