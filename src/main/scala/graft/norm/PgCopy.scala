@@ -33,7 +33,9 @@ object PgCopy {
     Seq("id" -> "bigint", "display_name" -> "string")
 
   /** The full public openstreetmap-website `users` table in COPY
-    * (physical) column order — public schema, db/structure.sql. */
+    * (physical) column order — public schema, db/structure.sql. Pinned
+    * against the vendored upstream DDL (test resource
+    * openstreetmap-structure-users.sql) in PgCopySpec. */
   val usersFullLayout: Seq[(String, String)] = Seq(
     "email" -> "string", "id" -> "bigint", "pass_crypt" -> "string",
     "creation_time" -> "ts", "display_name" -> "string",

@@ -116,6 +116,33 @@ class PgCopySpec extends AnyFunSuite {
     assert(chain.contains("layout mismatch"), s"got: $chain")
   }
 
+  test("usersFullLayout matches the vendored openstreetmap-website structure.sql") {
+    // the fixture is the upstream public DDL (see its header); pg_dump
+    // COPY emits columns in this physical order, so both the NAME ORDER
+    // and the type mapping of our default layout are pinned against it
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/openstreetmap-structure-users.sql"), "UTF-8")
+    val ddl = try src.mkString finally src.close()
+    val body = ddl.substring(ddl.indexOf('('), ddl.lastIndexOf(')'))
+    val colLine = """^\s*(\w+)\s+([a-z_. ]+?)(?:\s+DEFAULT .*)?(?:\s+NOT NULL)?,?\s*$""".r
+    val cols = body.linesIterator.collect {
+      case colLine(name, pgType) => name -> pgType.trim
+    }.toSeq
+    assert(cols.length == 29, s"fixture parse found ${cols.length} columns")
+    def category(pgType: String): String = pgType match {
+      case "bigint" => "bigint"
+      case "integer" | "smallint" => "int"
+      case "boolean" => "boolean"
+      case "double precision" => "double"
+      case "timestamp without time zone" => "ts"
+      case "character varying" | "text" => "string"
+      case t if t.endsWith("_enum") => "string" // enums ride as text in COPY
+      case t => fail(s"unmapped pg type $t")
+    }
+    assert(PgCopy.usersFullLayout == cols.map { case (n, t) => n -> category(t) },
+      "usersFullLayout must match the upstream physical column order + types")
+  }
+
   test("quadTile matches the public openstreetmap algorithm") {
     def ref(lat: Double, lon: Double): Long = {
       var x = Math.round((lon + 180) * 65535 / 360)
