@@ -16,19 +16,6 @@ import graft.util.{QueryDef, Tables}
   * JSON values, way refs, members, timestamps) is value-checked. */
 object OscQueries {
 
-  /** Gate-fixture staging root; removed when the JVM exits. */
-  private lazy val stagingRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft_osc_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(root))
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }))
-    root
-  }
-
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
@@ -85,16 +72,9 @@ object OscQueries {
           .select(col("event_id"), unix_millis(col("ts").cast("timestamp")),
             col("user_id"), col("event_type"), col("props"))
           .collect()
-        // Staged under the JVM temp dir, keyed on the FULL content hash
-        // of the dataset path (no String.hashCode collisions), removed
-        // by a shutdown hook. The distributed binaryFile read of a
-        // driver-local path assumes executors share the driver's
-        // filesystem — true in local mode, the only mode this gate runs
-        // in; production .osc input arrives on shared storage already.
-        val key = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-        val dir = stagingRoot.resolve(key)
-        java.nio.file.Files.createDirectories(dir)
+        // staged per dataset via the shared shutdown-cleaned fixture
+        // root (see graft.util.Staging for the local-mode assumption)
+        val dir = graft.util.Staging.dir("osc", d)
         val files = (0 until 8).map { i =>
           new StringBuilder(
             "<?xml version='1.0' encoding='UTF-8'?>\n" +
