@@ -27,6 +27,9 @@ import graft.synth.Pages
   *     new snapshot (directory form; --single-file supported)
   *   graft.Cli admin <in.osm.pbf> <outDir>       admin multipolygons + covers
   *   graft.Cli join <in.osm.pbf> <nPages> <outDir>  spatial join + knn + tiles
+  *   graft.Cli vacuum <snapshotRoot> [--keep=N]  drop superseded stage
+  *     versions (default keep=1 newest per stage; lineage-referenced
+  *     versions always survive)
   */
 object Cli {
 
@@ -169,6 +172,12 @@ object Cli {
           AdminAreas.coverTable(spark, areas, 17).toDF()
             .write.mode("overwrite").parquet(s"$out/cover")
           println(s"[graft] ${areas.count()} admin areas -> $out")
+        case "vacuum" :: root :: Nil =>
+          val keep = opts.get("keep").map(_.toInt).getOrElse(1)
+          val dropped = graft.snap.Snapshot.vacuum(spark, root, keep)
+          println(s"[graft] vacuum $root (keep=$keep): dropped " +
+            s"${dropped.length} superseded stage version(s)" +
+            (if (dropped.isEmpty) "" else dropped.mkString(": ", ", ", "")))
         case "join" :: in :: n :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in))
           val o = SpatialJoin.run(spark, Pages.generate(spark, n.toLong), areas)
@@ -179,7 +188,7 @@ object Cli {
         case other =>
           System.err.println(
             "usage: import|export|import-pgdump|export-pgdump|apply-osc|" +
-              s"admin|join ... (see graft.Cli scaladoc; got: $other)")
+              s"admin|join|vacuum ... (see graft.Cli scaladoc; got: $other)")
           sys.exit(2)
       }
     }
