@@ -185,14 +185,7 @@ object SpatialJoin {
     val centresM = centreIdx.centres
     val nCentres = centreIdx.nCentres
     def hinted(idx: DataFrame, estRows: Long): DataFrame =
-      if (estRows <= p.knnBroadcastMaxRows) broadcast(idx)
-      // merely dropping the hint is NOT enough: Catalyst's Generate
-      // stats do not multiply by the explode fan-out, so the over-bound
-      // index's byte size is underestimated and Spark would still
-      // auto-broadcast it — the explicit shuffle_hash hint makes the
-      // degradation deterministic (hash built per-partition on the
-      // index side, nothing collected to the driver)
-      else idx.hint("shuffle_hash")
+      graft.util.Joins.boundedBroadcast(idx, estRows, p.knnBroadcastMaxRows)
     val diskWidth = 2L * p.knnMaxRing + 1L
     val centIdx = centresM.select(col("relation_id").as("c_rel"),
         col("c_lat7"), col("c_lon7"))

@@ -51,8 +51,19 @@ object Similarity {
     * 16 random-hyperplane bits (codegen kernel; 65,536 buckets per
     * table), deterministic per-bucket caps bounding the within-bucket
     * join at ANY scale, exact quantized-cosine refine, top-k per
-    * vector. Input: corpusQ output. Output: (vec_id, rk, ann_id). */
-  def annTopK(corpus: DataFrame, k: Int = 1, cap: Int = 1024): DataFrame = {
+    * vector. Input: corpusQ output. Output: (vec_id, rk, ann_id).
+    *
+    * The fused k=1 bucket self-join BUILD side is the capped bands
+    * table (≈ 4·n rows WITH vectors, derived through a Generate whose
+    * stats Catalyst underestimates): its broadcast is kept only while
+    * one cheap corpus count stays under `broadcastMaxRows` and
+    * otherwise degrades deterministically to shuffled-hash
+    * ([[graft.util.Joins.boundedBroadcast]]) — a forced broadcast of a
+    * 10^9-vector band table is the same unbounded-broadcast failure the
+    * kNN probe fixed in round 4. The count makes this method eager. */
+  def annTopK(corpus: DataFrame, k: Int = 1, cap: Int = 1024,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    val nEst = 4L * corpus.count()
     val keyed = corpus
       .select(col("vec_id"), col("q"), col("qq"),
         posexplode(EmbedFunctions.lsh_buckets(col("q"))))
@@ -78,8 +89,10 @@ object Similarity {
       val scored = score(capped
         .select(col("t"), col("bucket"), col("vec_id").as("a_id"),
           col("q").as("qa"), col("qq").as("qqa"))
-        .join(capped.select(col("t"), col("bucket"), col("vec_id").as("b_id"),
-          col("q").as("qb"), col("qq").as("qqb")), Seq("t", "bucket"))
+        .join(graft.util.Joins.boundedBroadcast(
+          capped.select(col("t"), col("bucket"), col("vec_id").as("b_id"),
+            col("q").as("qb"), col("qq").as("qqb")),
+          nEst, broadcastMaxRows), Seq("t", "bucket"))
         .filter(col("a_id") =!= col("b_id")))
       scored.groupBy(col("a_id"))
         .agg(min(struct(negate(col("key")), col("b_id"))).as("m"))
@@ -88,8 +101,9 @@ object Similarity {
     } else {
       val thin = capped.select("t", "bucket", "vec_id")
       val pairs = thin.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
-        .join(thin.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
-          Seq("t", "bucket"))
+        .join(graft.util.Joins.boundedBroadcast(
+          thin.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
+          nEst, broadcastMaxRows), Seq("t", "bucket"))
         .filter(col("a_id") =!= col("b_id"))
         .select("a_id", "b_id").distinct()
       val qtab = corpus.select(col("vec_id"), col("q"), col("qq"))
@@ -130,9 +144,14 @@ object Similarity {
     *    equi-join, candidate count ≈ nProbe · n/kSeeds per query —
     *    kSeeds scales with n at 100 TB, keeping lists near-constant),
     *    scored by the same exact quantized-cosine key as the LSH path.
+    *    The assignment BUILD side is the FULL corpus (one row per
+    *    vector, with its vector) behind a Generate, so its broadcast is
+    *    bounded by `broadcastMaxRows` with the deterministic
+    *    shuffled-hash degrade ([[graft.util.Joins.boundedBroadcast]]).
     * Output: (vec_id, ann_id). */
   def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
-      lloydIters: Int = 2, sampleTarget: Int = 100): DataFrame = {
+      lloydIters: Int = 2, sampleTarget: Int = 100,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // one cheap count sizes the deterministic training sample
@@ -176,7 +195,9 @@ object Similarity {
     // a pair reachable through both probes scores identically twice —
     // the argmin absorbs duplicates, cheaper than a distinct (same
     // trade as the fused LSH k=1 path)
-    val scored = probe.join(assign, Seq("sid"))
+    val scored = probe
+      .join(graft.util.Joins.boundedBroadcast(assign, n, broadcastMaxRows),
+        Seq("sid"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("dot", EmbedFunctions.vec_dot(col("qa"), col("qb")))
       .withColumn("key", {
@@ -374,8 +395,11 @@ object Similarity {
     QueryDef(
       "q_embed_ann_lsh",
       (s, d) => {
+        // checkpoint: annTopK's broadcast-bound count plus the two
+        // bucket-join sides would otherwise each recompute the
+        // quantization scan
         val base = baseQ(s, d, sliced = false)
-        val corpus = corpusQ(base.union(twins(base)))
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
         annTopK(corpus, k = 1)
           .select(col("vec_id"), col("ann_id"))
           .orderBy("vec_id")

@@ -62,6 +62,34 @@ class SimilaritySpec extends AnyFunSuite {
       s"ANN recall@1 $milli‰ below the 950‰ floor ($nHit/$nEval)")
   }
 
+  test("over-bound ANN broadcasts degrade to shuffled-hash with identical output") {
+    import org.apache.spark.sql.functions._
+    // broadcastMaxRows = 0 forces the degrade branch on BOTH families;
+    // rows must be identical and the scoring join must NOT broadcast
+    // (the build sides are full-corpus tables behind Generates whose
+    // stats Spark underestimates — the kNN r4 lesson, applied here)
+    val base = graft.util.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0).cast("long")).as("q"))
+    val cc = Similarity.corpusQ(base.union(Similarity.twins(base))).localCheckpoint()
+    def noBhjOnCorpus(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val plan = df.queryExecution.executedPlan.toString
+      !plan.contains("BroadcastHashJoin")
+    }
+    val lshDefault = Similarity.annTopK(cc, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val lshDegraded = Similarity.annTopK(cc, k = 1, broadcastMaxRows = 0L)
+    assert(lshDegraded.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1).toSeq == lshDefault)
+    assert(noBhjOnCorpus(lshDegraded), "LSH degrade must not broadcast")
+    val ivfDefault = Similarity.ivfTop1(cc).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val ivfDegraded = Similarity.ivfTop1(cc, broadcastMaxRows = 0L)
+    assert(ivfDegraded.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq == ivfDefault)
+    assert(noBhjOnCorpus(ivfDegraded), "IVF degrade must not broadcast")
+  }
+
   test("q_embed_ann_ivf_recall reports recall@1 above the 0.90 floor") {
     val row = SparkEntry.queries("q_embed_ann_ivf_recall")(spark, sf).collect().head
     val (nEval, nHit, milli) = (row.getLong(0), row.getLong(1), row.getLong(2))
