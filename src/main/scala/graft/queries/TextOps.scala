@@ -75,8 +75,23 @@ object TextOps {
   /** LSH candidate pairs (r=2, b=4 band self-join — the bucketed shape,
     * never all-pairs) verified by exact jaccard ≥ 0.5. Shared by
     * q_dedup_minhash_lsh and q_dedup_clusters. */
+  /** Every corpus-derived build side here (band table, shingle-set
+    * table) sits behind Generates/aggregations whose stats Catalyst
+    * underestimates, so Spark would auto-broadcast them at ANY true
+    * size — the bands/verify joins are therefore broadcast only while
+    * one cheap count of the materialized set table stays under a bound,
+    * degrading deterministically to shuffled-hash beyond it (the same
+    * r4-kNN rule every ANN join follows). */
+  private val dedupBroadcastMaxRows = 1000000L
+
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val bands = shingled(s, d)
+    // materialize once: feeds the band build, BOTH verify sides and the
+    // broadcast-bound count (previously recomputed per consumer)
+    val sets = shingled(s, d).localCheckpoint()
+    val n = sets.count()
+    def bounded(df: DataFrame, est: Long) =
+      graft.util.Joins.boundedBroadcast(df, est, dedupBroadcastMaxRows)
+    val bands = sets
       .withColumn("sig", minhashSig(col("shs")))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(3)), b => struct(
@@ -86,14 +101,13 @@ object TextOps {
             element_at(col("sig"), b * 2 + 2)).as("mh_b")))))
       .select(col("doc_id"), col("pos").as("band"),
         col("col.mh_a").as("mh_a"), col("col.mh_b").as("mh_b"))
-    val pairs = bands.as("l").join(bands.as("r"),
+    val pairs = bands.as("l").join(bounded(bands.as("r"), 4L * n),
         col("l.band") === col("r.band") && col("l.mh_a") === col("r.mh_a") &&
           col("l.mh_b") === col("r.mh_b") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
-    val sets = shingled(s, d)
     pairs
-      .join(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), "d2")
+      .join(bounded(sets.select(col("doc_id").as("d1"), col("shs").as("s1")), n), "d1")
+      .join(bounded(sets.select(col("doc_id").as("d2"), col("shs").as("s2")), n), "d2")
       .withColumn("n_int", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jacc1000",
         expr("n_int * 1000 DIV (size(s1) + size(s2) - n_int)"))
@@ -379,6 +393,9 @@ object TextOps {
           // verify sides): materialize once — at corpus scale this is
           // the write-once signatures table every LSH pipeline persists
           .localCheckpoint()
+        val n = sets.count()
+        def bounded(df: org.apache.spark.sql.DataFrame, est: Long) =
+          graft.util.Joins.boundedBroadcast(df, est, dedupBroadcastMaxRows)
         val bands = sets
           .withColumn("sig", minhashSig(col("gs")))
           .select(col("doc_id"), posexplode(
@@ -388,20 +405,20 @@ object TextOps {
               element_at(col("sig"), b * 4 + 3).as("m3"),
               element_at(col("sig"), b * 4 + 4).as("m4")))))
           .select(col("doc_id"), col("pos").as("band"), col("col.*"))
-        val pairs = bands.as("l").join(bands.as("r"),
+        val pairs = bands.as("l").join(bounded(bands.as("r"), 2L * n),
             col("l.band") === col("r.band") && col("l.m1") === col("r.m1") &&
               col("l.m2") === col("r.m2") && col("l.m3") === col("r.m3") &&
               col("l.m4") === col("r.m4") && col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("d1"), col("r.doc_id").as("d2")).distinct()
         val sizes = sets.select(col("doc_id"), size(col("gs")).as("sz"))
         val sized = pairs
-          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), "d1")
-          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), "d2")
+          .join(bounded(sizes.select(col("doc_id").as("d1"), col("sz").as("s1")), n), "d1")
+          .join(bounded(sizes.select(col("doc_id").as("d2"), col("sz").as("s2")), n), "d2")
           .filter(expr("least(s1, s2) * 1000 DIV greatest(s1, s2) >= 800"))
           .select("d1", "d2")
         sized
-          .join(sets.select(col("doc_id").as("d1"), col("gs").as("g1")), "d1")
-          .join(sets.select(col("doc_id").as("d2"), col("gs").as("g2")), "d2")
+          .join(bounded(sets.select(col("doc_id").as("d1"), col("gs").as("g1")), n), "d1")
+          .join(bounded(sets.select(col("doc_id").as("d2"), col("gs").as("g2")), n), "d2")
           .withColumn("n_int", size(array_intersect(col("g1"), col("g2"))))
           .withColumn("jacc1000",
             expr("n_int * 1000 DIV (size(g1) + size(g2) - n_int)"))
