@@ -34,7 +34,13 @@ object SpatialJoin {
       // check, and the probe disk is |centres|·(2·maxRing+1)² rows — at
       // ~10⁶ planet admin centres that is ~49M rows, past the broadcast
       // comfort zone. 4M rows ≈ 300 MB at ~80 B/row.
-      knnBroadcastMaxRows: Long = 4000000L)
+      knnBroadcastMaxRows: Long = 4000000L,
+      // same rule for the containment join's cover side: per-executor
+      // broadcast of the cell cover is the right plan while it fits
+      // (boundary rows carry clipped edges, so rows are wider than the
+      // kNN index's — bound lower), and a planet-detail cover beyond it
+      // degrades to the shuffled equi-join deterministically
+      coverBroadcastMaxRows: Long = 2000000L)
 
   /** Geoparse: url + packed coordinate; drops pages with no mention.
     * Column pruning matters here — only (url, text) are read, never
@@ -69,8 +75,17 @@ object SpatialJoin {
     val keyed = pts.withColumn("jcell", explode(array(
       levels.map(l => G.cell_ancestor(col("pcell"), lit(l))): _*)))
 
+    // the cover is checkpointed by prepare(), so the bound's count is a
+    // cheap cached-block scan; page-side stats after the explode are
+    // Generate-underestimated, so without the explicit bound Spark
+    // could pick either side at any true size
+    val nCover = coverDf.count()
+    def boundedCover(df: DataFrame): DataFrame =
+      graft.util.Joins.boundedBroadcast(df, nCover, p.coverBroadcastMaxRows)
+
     val cand =
-      if (p.saltBuckets <= 1) keyed.join(coverDf, col("jcell") === col("cell"))
+      if (p.saltBuckets <= 1)
+        keyed.join(boundedCover(coverDf), col("jcell") === col("cell"))
       else {
         // hot join keys measured exactly (one cheap agg), then salted
         val hot = keyed.groupBy("jcell").count()
@@ -85,7 +100,7 @@ object SpatialJoin {
           .withColumn("salt", when(col("hot").isNotNull,
             pmod(xxhash64(col("url")), lit(p.saltBuckets)).cast("int")).otherwise(lit(0)))
           .drop("hot")
-        keyedS.join(coverS, col("jcell") === col("cell") &&
+        keyedS.join(boundedCover(coverS), col("jcell") === col("cell") &&
           keyedS("salt") === coverS("salt"))
       }
 

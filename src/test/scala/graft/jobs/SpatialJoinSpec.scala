@@ -154,6 +154,22 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("over-bound cover join degrades to shuffle with identical output") {
+    // coverBroadcastMaxRows = 0 forces the containment join onto the
+    // shuffled path — the plan at planet-detail cover sizes; cost may
+    // change, rows must not
+    val base = SpatialJoin.run(spark, pagesDf, areas)
+    val degraded = SpatialJoin.run(spark, pagesDf, areas,
+      SpatialJoin.Params(coverBroadcastMaxRows = 0L))
+    val a = base.joined.select("url", "relation_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = degraded.joined.select("url", "relation_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+    assert(!degraded.joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "degraded cover join must not broadcast")
+  }
+
   test("salted join output is identical to unsalted (J8)") {
     val base = SpatialJoin.run(spark, pagesDf, areas)
     val salted = SpatialJoin.run(spark, pagesDf, areas,
