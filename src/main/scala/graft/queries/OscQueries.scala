@@ -61,41 +61,53 @@ object OscQueries {
     (action, body)
   }
 
+  /** Write the 8-file .osc fixture (one gzipped) for dataset `d`. */
+  private def stageFixture(s: org.apache.spark.sql.SparkSession, d: String,
+      dir: java.nio.file.Path): Unit = {
+    val rows = Tables.t(s, d, "events")
+      .select(col("event_id"), unix_millis(col("ts").cast("timestamp")),
+        col("user_id"), col("event_type"), col("props"))
+      .collect()
+    val files = (0 until 8).map { _ =>
+      new StringBuilder(
+        "<?xml version='1.0' encoding='UTF-8'?>\n" +
+          "<osmChange version=\"0.6\" generator=\"graft\">\n")
+    }
+    for (r <- rows) {
+      val eventId = r.getLong(0)
+      val (action, body) = elementXml(eventId, r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))
+      files((eventId % 8).toInt) ++= s"<$action>\n$body\n</$action>\n"
+    }
+    files.zipWithIndex.foreach { case (sb, i) =>
+      sb ++= "</osmChange>\n"
+      val bytes = sb.toString.getBytes("UTF-8")
+      if (i == 3) { // one gzipped file exercises the gz sniff
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close()
+        java.nio.file.Files.write(dir.resolve(s"part-$i.osc.gz"), bos.toByteArray)
+      } else
+        java.nio.file.Files.write(dir.resolve(s"part-$i.osc"), bytes)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_osc_upsert",
       (s, d) => {
         // synthesis is driver-side and bounded (one small XML line set
         // per event — gate fixture construction, not the operator); the
-        // OPERATOR under test is the distributed parse + reduction
-        val rows = Tables.t(s, d, "events")
-          .select(col("event_id"), unix_millis(col("ts").cast("timestamp")),
-            col("user_id"), col("event_type"), col("props"))
-          .collect()
-        // staged per dataset via the shared shutdown-cleaned fixture
+        // OPERATOR under test is the distributed parse + reduction.
+        // Staged per dataset via the shared shutdown-cleaned fixture
         // root (see graft.util.Staging for the local-mode assumption)
+        // and reused across calls — the fixture is a pure function of
+        // the dataset dir.
         val dir = graft.util.Staging.dir("osc", d)
-        val files = (0 until 8).map { i =>
-          new StringBuilder(
-            "<?xml version='1.0' encoding='UTF-8'?>\n" +
-              "<osmChange version=\"0.6\" generator=\"graft\">\n")
-        }
-        for (r <- rows) {
-          val eventId = r.getLong(0)
-          val (action, body) = elementXml(eventId, r.getLong(1), r.getLong(2),
-            r.getString(3), r.getString(4))
-          files((eventId % 8).toInt) ++= s"<$action>\n$body\n</$action>\n"
-        }
-        files.zipWithIndex.foreach { case (sb, i) =>
-          sb ++= "</osmChange>\n"
-          val bytes = sb.toString.getBytes("UTF-8")
-          if (i == 3) { // one gzipped file exercises the gz sniff
-            val bos = new java.io.ByteArrayOutputStream()
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            gz.write(bytes); gz.close()
-            java.nio.file.Files.write(dir.resolve(s"part-$i.osc.gz"), bos.toByteArray)
-          } else
-            java.nio.file.Files.write(dir.resolve(s"part-$i.osc"), bytes)
+        val marker = dir.resolve("_STAGED")
+        if (!java.nio.file.Files.exists(marker)) {
+          stageFixture(s, d, dir)
+          java.nio.file.Files.createFile(marker)
         }
 
         val e = OscRead.read(s, dir.toString).toDF()
