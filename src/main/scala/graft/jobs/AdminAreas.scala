@@ -287,9 +287,19 @@ object AdminAreas {
 
   /** Full pipeline: typed entities → AdminArea with canonical rings. */
   def build(spark: SparkSession, osm: Dataset[OsmEntity],
-      localMaxSegs: Int = DefaultLocalMaxSegs): Dataset[AdminArea] = {
+      localMaxSegs: Int = DefaultLocalMaxSegs,
+      onlyRelations: Option[DataFrame] = None): Dataset[AdminArea] = {
     import spark.implicits._
-    val admin = adminRelations(osm).cache()
+    // onlyRelations (a relation_id frame) restricts the whole build to
+    // a subset — the incremental-maintenance path; the semi-join keeps
+    // every downstream stage (chains, stitch, centres) naturally
+    // pruned because they all key off `admin`
+    val admin0 = adminRelations(osm)
+    val admin = onlyRelations
+      .map(r => admin0.join(r.select(col("relation_id")).distinct(),
+        Seq("relation_id"), "left_semi"))
+      .getOrElse(admin0)
+      .cache()
     val (closed, failed) =
       assemble(spark, initialChains(spark, osm, admin), localMaxSegs = localMaxSegs)
     val ringsPerRel = closed
@@ -364,5 +374,76 @@ object AdminAreas {
           .map(cc => CoverRowEx(rel, cc.cell, cc.full, cc.cornerInside,
             cc.fallback, cc.edges.toSeq))
       }
+  }
+
+  // ---- incremental maintenance (replication-diff path) --------------
+
+  /** Relations whose assembled geometry MAY change under `diffs`:
+    * directly-changed relations, relations with a member way that was
+    * changed or that references a changed node (way membership taken
+    * from BOTH snapshots — a node leaving a way must still dirty the
+    * way's old relations), and relations with a changed member node
+    * (admin_centre moves). The diff side of every probe is the small
+    * side and is broadcast under the usual bound. Output: one
+    * `relation_id` column, distinct. */
+  def touchedRelations(spark: SparkSession, prevSnapshot: Dataset[OsmEntity],
+      newSnapshot: Dataset[OsmEntity], diffs: Dataset[OsmEntity],
+      diffBroadcastMaxRows: Long = 4000000L): DataFrame = {
+    import spark.implicits._
+    val d = diffs.localCheckpoint()
+    val nDiff = d.count()
+    def bounded(df: DataFrame, est: Long) =
+      graft.util.Joins.boundedBroadcast(df, est, diffBroadcastMaxRows)
+    def ids(kind: Byte, as: String): DataFrame =
+      d.filter(_.kind == kind).map(_.id).toDF(as).distinct()
+    val dNodes = ids(OsmKind.Node, "node_id")
+    val dWays = ids(OsmKind.Way, "way_id")
+    val dRels = ids(OsmKind.Relation, "relation_id")
+    def wayRefs(snap: Dataset[OsmEntity]): DataFrame =
+      latestVisible(snap, OsmKind.Way)
+        .select(col("id").as("way_id"), explode(col("refs")).as("node_id"))
+    val waysViaNodes = wayRefs(prevSnapshot).union(wayRefs(newSnapshot))
+      .join(bounded(dNodes, nDiff), Seq("node_id"), "left_semi")
+      .select("way_id").distinct()
+    val touchedWays = dWays.union(waysViaNodes).distinct()
+    def relMembers(snap: Dataset[OsmEntity]): DataFrame =
+      latestVisible(snap, OsmKind.Relation)
+        .select(col("id").as("relation_id"), explode(col("members")).as("m"))
+    val members = relMembers(prevSnapshot).union(relMembers(newSnapshot))
+    val viaWays = members.filter(col("m.mtype") === OsmKind.Way)
+      .select(col("relation_id"), col("m.ref").as("way_id"))
+      .join(bounded(touchedWays, nDiff * 4), Seq("way_id"), "left_semi")
+      .select("relation_id")
+    val viaNodes = members.filter(col("m.mtype") === OsmKind.Node)
+      .select(col("relation_id"), col("m.ref").as("node_id"))
+      .join(bounded(dNodes, nDiff), Seq("node_id"), "left_semi")
+      .select("relation_id")
+    dRels.union(viaWays).union(viaNodes).distinct()
+  }
+
+  /** Incremental admin-area maintenance: apply a replication-diff batch
+    * and rebuild ONLY the touched relations, carrying every other area
+    * over unchanged — the planet-scale answer to minutely diffs (a full
+    * rebuild re-stitches ~10^6 relations for a batch touching a
+    * handful). Equivalence to the full rebuild on the new snapshot is
+    * spec-pinned (AdminAreasSpec). Returns (new snapshot, new areas) —
+    * the snapshot is what the next diff batch applies against. */
+  def incrementalUpdate(spark: SparkSession, prevSnapshot: Dataset[OsmEntity],
+      prevAreas: Dataset[AdminArea], diffs: Dataset[OsmEntity],
+      localMaxSegs: Int = DefaultLocalMaxSegs)
+      : (Dataset[OsmEntity], Dataset[AdminArea]) = {
+    import spark.implicits._
+    val next = graft.streaming.Replication.applyDiffs(spark, prevSnapshot, diffs)
+    val touched = touchedRelations(spark, prevSnapshot, next, diffs)
+      .localCheckpoint()
+    // rebuilt: touched relations still admin+visible in the NEW
+    // snapshot (deleted / de-tagged relations drop out of the semi-join
+    // naturally); kept: everything untouched rides over as-is
+    val rebuilt = build(spark, next, localMaxSegs, Some(touched))
+    val kept = prevAreas
+      .join(touched, prevAreas("relationId") === touched("relation_id"),
+        "left_anti")
+      .as[AdminArea]
+    (next, kept.union(rebuilt))
   }
 }

@@ -69,4 +69,55 @@ class AdminAreasSpec extends AnyFunSuite {
       countryCells.contains(Cells.encode(country.centreLat7.get, country.centreLon7.get, l)))
     assert(centreHit)
   }
+
+  test("incremental update after a diff batch equals the full rebuild; touched set is minimal") {
+    import graft.model.{OsmEntity, OsmKind}
+    val snap = PbfRead.read(spark, fixture).cache()
+    val prevAreas = AdminAreas.build(spark, snap).cache()
+    // pick one boundary way of relation 1558543 and one node on it
+    val adminRel = snap.filter(e => e.kind == OsmKind.Relation && e.id == 1558543L).head()
+    val someWayId = adminRel.members.filter(_.mtype == OsmKind.Way).map(_.ref).min
+    val way = snap.filter(e => e.kind == OsmKind.Way && e.id == someWayId).head()
+    val nodeId = way.refs.head
+    val node = snap.filter(e => e.kind == OsmKind.Node && e.id == nodeId).head()
+    val diffs = Seq(
+      // geometry change: move one boundary node ~10m
+      node.copy(version = node.version + 1,
+        lat7 = node.lat7.map(_ + 1000L), tsMillis = node.tsMillis + 1000),
+      // delete a whole admin relation
+      OsmEntity(OsmKind.Relation, 1558544L, 99, visible = false, None, None,
+        0L, 1L, 1, "u", Nil, Nil, Nil),
+      // tag-only change: rename another relation
+      snap.filter(e => e.kind == OsmKind.Relation && e.id == 1558545L).head() match {
+        case r => r.copy(version = r.version + 1,
+          tags = r.tags.map(t => if (t.k == "name") t.copy(v = "Vaiea Renamed") else t))
+      }
+    ).toDS()
+    val (next, incr) = AdminAreas.incrementalUpdate(spark, snap, prevAreas, diffs)
+    val full = AdminAreas.build(spark, next)
+    def key(a: AdminAreas.AdminArea) =
+      (a.relationId, a.adminLevel, a.name, a.rings, a.centreLat7, a.centreLon7, a.complete)
+    assert(incr.collect().map(key).sortBy(_._1).toSeq ==
+      full.collect().map(key).sortBy(_._1).toSeq)
+    val got = incr.collect().sortBy(_.relationId)
+    assert(!got.exists(_.relationId == 1558544L), "deleted relation must drop out")
+    assert(got.find(_.relationId == 1558545L).get.name == "Vaiea Renamed")
+    // geometry actually moved vs the previous build
+    val prevRing = prevAreas.collect().find(_.relationId == 1558543L).get.rings
+    assert(got.find(_.relationId == 1558543L).get.rings != prevRing)
+    // minimality: only relations that reference the moved node's way
+    // (or the node itself), plus the two directly-changed relations
+    val touched = AdminAreas.touchedRelations(spark, snap, next, diffs)
+      .collect().map(_.getLong(0)).toSet
+    val waysWithNode = snap.filter(e => e.kind == OsmKind.Way && e.visible)
+      .collect().filter(_.refs.contains(nodeId)).map(_.id).toSet
+    val expectedGeom = snap
+      .filter(e => e.kind == OsmKind.Relation && e.visible)
+      .collect()
+      .filter(r => r.members.exists(m => m.mtype == OsmKind.Way && waysWithNode(m.ref))
+        || r.members.exists(m => m.mtype == OsmKind.Node && m.ref == nodeId))
+      .map(_.id).toSet
+    assert(touched == expectedGeom ++ Set(1558544L, 1558545L), s"touched=$touched")
+    assert(touched.size < prevAreas.count(), "must not dirty the whole admin set")
+  }
 }
