@@ -426,24 +426,49 @@ object AdminAreas {
     * over unchanged — the planet-scale answer to minutely diffs (a full
     * rebuild re-stitches ~10^6 relations for a batch touching a
     * handful). Equivalence to the full rebuild on the new snapshot is
-    * spec-pinned (AdminAreasSpec). Returns (new snapshot, new areas) —
-    * the snapshot is what the next diff batch applies against. */
+    * spec-pinned (AdminAreasSpec). The result carries the new snapshot
+    * (what the next diff batch applies against), the merged area set,
+    * and the touched/rebuilt frames [[incrementalCover]] consumes. */
+  final case class IncrementalResult(
+      snapshot: Dataset[OsmEntity], areas: Dataset[AdminArea],
+      touched: DataFrame, rebuilt: Dataset[AdminArea])
+
   def incrementalUpdate(spark: SparkSession, prevSnapshot: Dataset[OsmEntity],
       prevAreas: Dataset[AdminArea], diffs: Dataset[OsmEntity],
-      localMaxSegs: Int = DefaultLocalMaxSegs)
-      : (Dataset[OsmEntity], Dataset[AdminArea]) = {
+      localMaxSegs: Int = DefaultLocalMaxSegs): IncrementalResult = {
     import spark.implicits._
     val next = graft.streaming.Replication.applyDiffs(spark, prevSnapshot, diffs)
     val touched = touchedRelations(spark, prevSnapshot, next, diffs)
       .localCheckpoint()
     // rebuilt: touched relations still admin+visible in the NEW
     // snapshot (deleted / de-tagged relations drop out of the semi-join
-    // naturally); kept: everything untouched rides over as-is
+    // naturally); kept: everything untouched rides over as-is. The
+    // rebuilt side is checkpointed because the result exposes it to
+    // the area merge AND the cover merge.
     val rebuilt = build(spark, next, localMaxSegs, Some(touched))
+      .localCheckpoint()
     val kept = prevAreas
       .join(touched, prevAreas("relationId") === touched("relation_id"),
         "left_anti")
       .as[AdminArea]
-    (next, kept.union(rebuilt))
+    IncrementalResult(next, kept.union(rebuilt), touched, rebuilt)
+  }
+
+  /** Cover companion to [[incrementalUpdate]]: merge a previous cover
+    * with the rebuilt areas' fresh cover rows — old rows of touched
+    * relations drop (covers of deleted relations with them), untouched
+    * rows carry over byte-identical, only the rebuilt relations pay
+    * the cover computation. `rebuiltAreas` must be exactly the areas
+    * built for the touched set; `touched` the id frame that selected
+    * them. */
+  def incrementalCover(spark: SparkSession, prevCover: Dataset[CoverRowEx],
+      rebuiltAreas: Dataset[AdminArea], touched: DataFrame,
+      maxLevel: Int): Dataset[CoverRowEx] = {
+    import spark.implicits._
+    val kept = prevCover
+      .join(touched, prevCover("relationId") === touched("relation_id"),
+        "left_anti")
+      .as[CoverRowEx]
+    kept.union(coverTableDetailed(spark, rebuiltAreas, maxLevel))
   }
 }

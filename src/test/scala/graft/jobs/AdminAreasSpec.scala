@@ -93,12 +93,22 @@ class AdminAreasSpec extends AnyFunSuite {
           tags = r.tags.map(t => if (t.k == "name") t.copy(v = "Vaiea Renamed") else t))
       }
     ).toDS()
-    val (next, incr) = AdminAreas.incrementalUpdate(spark, snap, prevAreas, diffs)
+    val r = AdminAreas.incrementalUpdate(spark, snap, prevAreas, diffs)
+    val (next, incr) = (r.snapshot, r.areas)
     val full = AdminAreas.build(spark, next)
     def key(a: AdminAreas.AdminArea) =
       (a.relationId, a.adminLevel, a.name, a.rings, a.centreLat7, a.centreLon7, a.complete)
     assert(incr.collect().map(key).sortBy(_._1).toSeq ==
       full.collect().map(key).sortBy(_._1).toSeq)
+    // cover merge ≡ full recompute of the cover on the merged areas
+    val prevCover = AdminAreas.coverTableDetailed(spark, prevAreas, 12)
+    val mergedCover = AdminAreas.incrementalCover(spark, prevCover,
+      r.rebuilt, r.touched, 12).collect()
+    val fullCover = AdminAreas.coverTableDetailed(spark, full, 12).collect()
+    def ckey(c: AdminAreas.CoverRowEx) =
+      (c.relationId, c.cell, c.full, c.cornerInside, c.fallback, c.edges)
+    assert(mergedCover.map(ckey).sortBy(c => (c._1, c._2)).toSeq ==
+      fullCover.map(ckey).sortBy(c => (c._1, c._2)).toSeq)
     val got = incr.collect().sortBy(_.relationId)
     assert(!got.exists(_.relationId == 1558544L), "deleted relation must drop out")
     assert(got.find(_.relationId == 1558545L).get.name == "Vaiea Renamed")
