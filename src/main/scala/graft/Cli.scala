@@ -26,6 +26,10 @@ import graft.synth.Pages
   *     version per (kind,id) wins, deletes drop out; the output is a
   *     new snapshot (directory form; --single-file supported)
   *   graft.Cli admin <in.osm.pbf> <outDir>       admin multipolygons + covers
+  *   graft.Cli update-admin <in.osm.pbf> <oscDir> <prevAdminDir> <outDir>
+  *     incremental admin maintenance: apply replication diffs and
+  *     rebuild ONLY the touched relations' areas + cover rows, carrying
+  *     the rest over from <prevAdminDir> unchanged
   *   graft.Cli join <in.osm.pbf> <nPages> <outDir>  spatial join + knn + tiles
   *   graft.Cli vacuum <snapshotRoot> [--keep=N]  drop superseded stage
   *     versions (default keep=1 newest per stage; lineage-referenced
@@ -169,9 +173,25 @@ object Cli {
         case "admin" :: in :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in)).cache()
           areas.toDF().write.mode("overwrite").parquet(s"$out/admin_areas")
-          AdminAreas.coverTable(spark, areas, 17).toDF()
+          // detailed form: what the containment join consumes AND what
+          // update-admin merges incrementally
+          AdminAreas.coverTableDetailed(spark, areas, 17).toDF()
             .write.mode("overwrite").parquet(s"$out/cover")
           println(s"[graft] ${areas.count()} admin areas -> $out")
+        case "update-admin" :: in :: oscDir :: prevAdminDir :: out :: Nil =>
+          import spark.implicits._
+          val snap = PbfRead.read(spark, in)
+          val prevAreas = spark.read.parquet(s"$prevAdminDir/admin_areas")
+            .as[AdminAreas.AdminArea]
+          val prevCover = spark.read.parquet(s"$prevAdminDir/cover")
+            .as[AdminAreas.CoverRowEx]
+          val diffs = graft.streaming.OscRead.read(spark, oscDir)
+          val r = AdminAreas.incrementalUpdate(spark, snap, prevAreas, diffs)
+          r.areas.toDF().write.mode("overwrite").parquet(s"$out/admin_areas")
+          AdminAreas.incrementalCover(spark, prevCover, r.rebuilt, r.touched, 17)
+            .toDF().write.mode("overwrite").parquet(s"$out/cover")
+          println(s"[graft] incrementally rebuilt ${r.touched.count()} " +
+            s"touched relation(s) -> $out")
         case "vacuum" :: root :: Nil =>
           val keep = opts.get("keep").map(_.toInt).getOrElse(1)
           val dropped = graft.snap.Snapshot.vacuum(spark, root, keep)
@@ -188,7 +208,7 @@ object Cli {
         case other =>
           System.err.println(
             "usage: import|export|import-pgdump|export-pgdump|apply-osc|" +
-              s"admin|join|vacuum ... (see graft.Cli scaladoc; got: $other)")
+              s"admin|update-admin|join|vacuum ... (see graft.Cli scaladoc; got: $other)")
           sys.exit(2)
       }
     }
