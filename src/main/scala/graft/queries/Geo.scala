@@ -101,6 +101,41 @@ object Geo {
               |FROM ($eventPointsSql)
               |ORDER BY event_id""".stripMargin)),
 
+    // multi-resolution cell pyramid: aggregate ONCE at the finest
+    // level, then roll the pyramid up from the aggregated counts (11
+    // tiny shuffles over tile counts — never re-touching the point
+    // table, the shape a z0..z10 tile-serving rollup needs at 10^12
+    // points). Pure integer cell math → full DuckDB value check
+    // (Mercator tiles use libm doubles, so THEIR gate stays a frozen
+    // digest; the rollup semantics are identical).
+    QueryDef(
+      "q_cell_pyramid",
+      (s, d) => {
+        val base = eventPoints(s, d)
+          .select(G.cell_encode(col("lat7"), col("lon7"), lit(10)).as("c"))
+          .groupBy("c").agg(count(lit(1)).as("n"))
+        base.select(col("c"), col("n"),
+            explode(sequence(lit(0), lit(10))).as("z"))
+          .groupBy(G.cell_ancestor(col("c"), col("z")).as("cell"))
+          .agg(sum(col("n")).as("n_points"))
+          .select(shiftrightunsigned(col("cell"), 58).cast("int").as("z"),
+            col("cell"), col("n_points"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH p AS ($eventPointsSql),
+              |b AS (SELECT
+              |    least(((lat7 + 900000000) * 1024) // 1800000000, 1023) AS y10,
+              |    least(((lon7 + 1800000000) * 1024) // 3600000000, 1023) AS x10
+              |  FROM p),
+              |a AS (SELECT y10, x10, count(*) AS n FROM b GROUP BY 1, 2),
+              |lv AS (SELECT unnest(range(0, 11)) AS z)
+              |SELECT CAST(z AS INTEGER) AS z,
+              |  (CAST(z AS BIGINT) << 58) + ((y10 >> (10 - z)) << z)
+              |    + (x10 >> (10 - z)) AS cell,
+              |  CAST(sum(n) AS BIGINT) AS n_points
+              |FROM a, lv
+              |GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
+
     // J5 skeleton: PIP against a rectangle ≡ BETWEEN (boundary=inside)
     QueryDef(
       "q_pip_rect",

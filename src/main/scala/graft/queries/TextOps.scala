@@ -202,6 +202,44 @@ object TextOps {
               |  CAST(len(text) < 100 AS INTEGER) AS too_short
               |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
 
+    // the canonical training-data filter CHAIN, composed from the
+    // operators above: exact-dedup keeper → length floor → language
+    // gate, reported per predicted language (counts + id-sum/min/max —
+    // an order-invariant exact check without a shared hash function)
+    QueryDef(
+      "q_corpus_filter",
+      (s, d) => {
+        def cnt(pat: String) =
+          s"CAST((length(lower(text)) - length(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
+        corpus(s, d)
+          .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+          .filter(length(col("text")) >= 100)
+          .withColumn("lang_pred",
+            expr(s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
+              s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
+              s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END"))
+          .groupBy("lang_pred")
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy("lang_pred")
+      },
+      Some {
+        def cnt(pat: String) =
+          s"CAST((len(lower(text)) - len(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
+        s"""WITH k AS (SELECT text, min(doc_id) AS doc_id
+           |  FROM ($corpusSql) GROUP BY text),
+           |f AS (SELECT doc_id, text FROM k WHERE len(text) >= 100),
+           |l AS (SELECT doc_id,
+           |  CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en'
+           |       WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr'
+           |       WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END AS lang_pred
+           |  FROM f)
+           |SELECT lang_pred, count(*) AS n_kept,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+      }),
+
     // exact dedup: hash-groupBy on text
     QueryDef(
       "q_dedup_exact",
