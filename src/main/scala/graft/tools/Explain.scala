@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
+    val names =
+      if (args.length < 2 || args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.adaptive.enabled", "true")

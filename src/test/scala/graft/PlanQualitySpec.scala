@@ -141,6 +141,26 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("no gate query plans a nested-loop/cartesian join (except the two documented baselines)") {
+    // q_ngram_jaccard (1/17-slice all-pairs probe) and q_embed_knn_l2q
+    // (fixture-slice brute force) are DELIBERATE bounded quadratic
+    // baselines; everything else must stay equi-join shaped. Queries
+    // that execute work during construction are skipped — their final
+    // DF is a tiny aggregate whose internal joins are asserted by
+    // their own specs/degrade tests.
+    val baselines = Set("q_ngram_jaccard", "q_embed_knn_l2q")
+    val eager = Set("q_stream_dedup", "q_osc_upsert", "q_pgcopy_roundtrip",
+      "q_osm_roundtrip", "q_multimodal", "q_dedup_clusters")
+    val sf = "/root/testdata/sf0.001"
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !baselines(name) && !eager(name)) {
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString()
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name plans a non-equi join:\n$plan")
+    }
+  }
+
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
     import spark.implicits._
     val joined = Seq(("u", -190000000L, -1699000000L, 1L))
