@@ -218,10 +218,13 @@ object TextOps {
             expr(s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
               s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
               s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END"))
-          .groupBy("lang_pred")
+          // length-quartile buckets keep the report multi-row on a
+          // monolingual corpus — a richer exact check than one total
+          .withColumn("len_bucket", expr("length(text) DIV 200"))
+          .groupBy("lang_pred", "len_bucket")
           .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
             min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-          .orderBy("lang_pred")
+          .orderBy("lang_pred", "len_bucket")
       },
       Some {
         def cnt(pat: String) =
@@ -233,11 +236,13 @@ object TextOps {
            |  CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en'
            |       WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr'
            |       WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END AS lang_pred
+           |  , len(text) // 200 AS len_bucket
            |  FROM f)
-           |SELECT lang_pred, count(*) AS n_kept,
+           |SELECT lang_pred, len_bucket, count(*) AS n_kept,
            |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
-           |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+           |FROM l GROUP BY lang_pred, len_bucket
+           |ORDER BY lang_pred, len_bucket""".stripMargin
       }),
 
     // exact dedup: hash-groupBy on text
