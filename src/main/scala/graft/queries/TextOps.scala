@@ -301,8 +301,13 @@ object TextOps {
         // convergence count, paying Row↔InternalRow conversion both
         // ways every round (the single most expensive bench query)
         val edgesM = edges.localCheckpoint()
-        var labels = edgesM.select(col("a").as("node"))
-          .distinct().withColumn("comp", col("node")).localCheckpoint()
+        // seed with round 1 FUSED into initialization: the edge table
+        // carries both endpoints, so min(self, min(neighbour)) needs no
+        // join — one propagation round (join + checkpoint + count)
+        // disappears from every run
+        var labels = edgesM.groupBy("a").agg(min(col("b")).as("mb"))
+          .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
+          .localCheckpoint()
         var converged = false
         var round = 0
         while (!converged && round < 50) {
