@@ -108,6 +108,84 @@ object EmbedRT {
     }
     new GenericArrayData(bestS)
   }
+
+  /** PQ encode: for each of `m` subspaces of width `dsub`, the INDEX
+    * (0..k-1) of the nearest sub-centroid by exact integer L2, ties →
+    * the smallest index. `cents` is the flat m×k×dsub codebook. With
+    * sub-centroids ordered by ascending seed id, index order == seed-id
+    * order, so the tie rule matches the SQL mirror's (d2, pid) window.
+    * Returns m code indices. */
+  def pqEncode(q: ArrayData, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): ArrayData = {
+    require(q.numElements() == m * dsub, "dim != m*dsub")
+    require(cents.length == m * k * dsub, "codebook shape mismatch")
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var best = Long.MaxValue
+      var bestI = 0
+      var c = 0
+      while (c < k) {
+        var d2 = 0L
+        val off = (s * k + c) * dsub
+        var j = 0
+        while (j < dsub) {
+          val d = q.getLong(s * dsub + j) - cents(off + j)
+          d2 += d * d
+          j += 1
+        }
+        if (d2 < best) { best = d2; bestI = c }
+        c += 1
+      }
+      out(s) = bestI.toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ asymmetric distance table for a QUERY vector: dt[s*k + c] =
+    * exact integer L2 between the query's subvector s and sub-centroid
+    * c. One table per probe row turns candidate scoring into m array
+    * lookups ([[pqAdc]]) — the big (inverted-list) side ships m codes
+    * instead of the full vector. */
+  def pqDtable(q: ArrayData, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): ArrayData = {
+    require(q.numElements() == m * dsub, "dim != m*dsub")
+    require(cents.length == m * k * dsub, "codebook shape mismatch")
+    val out = new Array[Long](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        var d2 = 0L
+        val off = (s * k + c) * dsub
+        var j = 0
+        while (j < dsub) {
+          val d = q.getLong(s * dsub + j) - cents(off + j)
+          d2 += d * d
+          j += 1
+        }
+        out(s * k + c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_s dtable[s*k + codes[s]] — the PQ approximation of
+    * the query↔candidate squared L2. */
+  def pqAdc(dtable: ArrayData, codes: ArrayData, k: Int): Long = {
+    val m = codes.numElements()
+    require(dtable.numElements() == m * k, "dtable/codes shape mismatch")
+    var acc = 0L
+    var s = 0
+    while (s < m) {
+      acc += dtable.getLong(s * k + codes.getLong(s).toInt)
+      s += 1
+    }
+    acc
+  }
 }
 
 /** lsh_buckets(q ARRAY<BIGINT>) → ARRAY<BIGINT> of 4 16-bit bucket ids. */
@@ -171,6 +249,56 @@ case class IvfTopExpr(q: Expression, cents: Array[Long], sids: Array[Long],
     copy(q = c)
 }
 
+/** pq_encode(q) → ARRAY<BIGINT>[m] of sub-centroid indices; codebook
+  * rides as a codegen reference object (see IvfTopExpr). */
+case class PqEncodeExpr(q: Expression, cents: Array[Long], m: Int, k: Int,
+    dsub: Int) extends UnaryExpression {
+  override def child: Expression = q
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    EmbedRT.pqEncode(a.asInstanceOf[ArrayData], cents, m, k, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.EmbedRT.pqEncode($c, $cRef, $m, $k, $dsub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(q = c)
+}
+
+/** pq_dtable(q) → ARRAY<BIGINT>[m·k] asymmetric distance table. */
+case class PqDtableExpr(q: Expression, cents: Array[Long], m: Int, k: Int,
+    dsub: Int) extends UnaryExpression {
+  override def child: Expression = q
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    EmbedRT.pqDtable(a.asInstanceOf[ArrayData], cents, m, k, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.EmbedRT.pqDtable($c, $cRef, $m, $k, $dsub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqDtableExpr =
+    copy(q = c)
+}
+
+/** pq_adc(dtable, codes) → BIGINT approximate squared L2. */
+case class PqAdcExpr(dtable: Expression, codes: Expression, k: Int)
+    extends BinaryExpression {
+  override def left: Expression = dtable
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    EmbedRT.pqAdc(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expr.EmbedRT.pqAdc($l, $r, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(dtable = l, codes = r)
+}
+
 object EmbedFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
   def lsh_buckets(q: Column): Column = column(LshBucketsExpr(expression(q)))
@@ -181,4 +309,12 @@ object EmbedFunctions {
   def ivf_top(q: Column, cents: Array[Long], sids: Array[Long],
       nProbe: Int): Column =
     column(IvfTopExpr(expression(q), cents, sids, nProbe))
+  def pq_encode(q: Column, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): Column =
+    column(PqEncodeExpr(expression(q), cents, m, k, dsub))
+  def pq_dtable(q: Column, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): Column =
+    column(PqDtableExpr(expression(q), cents, m, k, dsub))
+  def pq_adc(dtable: Column, codes: Column, k: Int): Column =
+    column(PqAdcExpr(expression(dtable), expression(codes), k))
 }

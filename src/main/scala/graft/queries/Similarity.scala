@@ -149,13 +149,15 @@ object Similarity {
     *    bounded by `broadcastMaxRows` with the deterministic
     *    shuffled-hash degrade ([[graft.util.Joins.boundedBroadcast]]).
     * Output: (vec_id, ann_id). */
-  def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
-      lloydIters: Int = 2, sampleTarget: Int = 100,
-      broadcastMaxRows: Long = 1000000L): DataFrame = {
+  /** Trained coarse quantizer (shared by [[ivfTop1]] and
+    * [[ivfPqTop1]]): deterministic seeds + `lloydIters` Lloyd rounds
+    * over the bounded modulus sample, each round one map-only
+    * assignment (ivf_top kernel) + one tiny per-dimension partial agg.
+    * Returns (sid, centroid) sorted by sid. */
+  private def coarseCentroids(corpus: DataFrame, n: Long, kSeeds: Int,
+      lloydIters: Int, sampleTarget: Int): Seq[(Long, Seq[Long])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // one cheap count sizes the deterministic training sample
-    val n = corpus.count()
     val m = math.max(1L, n / (sampleTarget.toLong * kSeeds))
     val sample = corpus.filter(pmod(col("vec_id"), lit(m)) === 0)
       .select(col("vec_id"), col("q"))
@@ -164,9 +166,6 @@ object Similarity {
       .orderBy("vec_id").limit(kSeeds)
       .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect().toSeq
     require(centroids.nonEmpty, "IVF needs at least one seed centroid")
-    // per-row centroid ranking via the ivf_top codegen kernel (d2 asc,
-    // sid asc — the same tie rule as the oracle's window); the matrix
-    // rides as a driver-constant reference object
     def topSids(nP: Int): Column = EmbedFunctions.ivf_top(col("q"),
       centroids.flatMap(_._2).toArray, centroids.map(_._1).toArray, nP)
     for (_ <- 1 to lloydIters) {
@@ -180,6 +179,20 @@ object Similarity {
           s => s.getField("v")).as("sq"))
         .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
     }
+    centroids
+  }
+
+  def ivfTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
+      lloydIters: Int = 2, sampleTarget: Int = 100,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    // one cheap count sizes the deterministic training sample
+    val n = corpus.count()
+    val centroids = coarseCentroids(corpus, n, kSeeds, lloydIters, sampleTarget)
+    // per-row centroid ranking via the ivf_top codegen kernel (d2 asc,
+    // sid asc — the same tie rule as the oracle's window); the matrix
+    // rides as a driver-constant reference object
+    def topSids(nP: Int): Column = EmbedFunctions.ivf_top(col("q"),
+      centroids.flatMap(_._2).toArray, centroids.map(_._1).toArray, nP)
     // final pass over the FULL corpus: top-nProbe centroids per row in
     // one map-only projection; rn = 1 is the inverted-list assignment
     val withTop = corpus.select(col("vec_id"), col("q"), col("qq"),
@@ -208,6 +221,119 @@ object Similarity {
     scored.groupBy(col("a_id"))
       .agg(min(struct(negate(col("key")), col("b_id"))).as("m"))
       .select(col("a_id").as("vec_id"), col("m.b_id").as("ann_id"))
+  }
+
+  /** Trained PQ codebook: flat m×k×dsub, sub-centroids ordered by
+    * ascending seed id per subspace (so the kernel's smallest-index tie
+    * rule equals the oracle's (d2, pid) window). Seeds are the first k
+    * `vec_id % 7 == 1` rows' subvectors; ONE Lloyd refinement over the
+    * bounded modulus sample (max(1, n div (sampleTarget·k))) with
+    * integer-exact means; an empty sub-cluster KEEPS its seed centroid
+    * (no dropout — k stays fixed, unlike the coarse quantizer). */
+  private def pqTrain(corpus: DataFrame, n: Long, m: Int, k: Int,
+      dsub: Int, sampleTarget: Int): Array[Long] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedRows = corpus.filter(pmod(col("vec_id"), lit(7)) === 1)
+      .orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect()
+    require(seedRows.nonEmpty, "PQ needs at least one seed row")
+    val kEff = seedRows.length
+    val cents = new Array[Long](m * kEff * dsub)
+    for (s <- 0 until m; c <- 0 until kEff; j <- 0 until dsub)
+      cents((s * kEff + c) * dsub + j) = seedRows(c)._2(s * dsub + j)
+    val mod = math.max(1L, n / (sampleTarget.toLong * k))
+    val sample = corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+    val means = sample
+      .select(col("q"),
+        EmbedFunctions.pq_encode(col("q"), cents, m, kEff, dsub).as("codes"))
+      .select(col("q"), col("codes"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), element_at(col("codes"), col("s") + 1).as("code"),
+        slice(col("q"), col("s") * dsub + 1, lit(dsub)).as("sv"))
+      .select(col("s"), col("code"), posexplode(col("sv")))
+      .groupBy("s", "code", "pos")
+      .agg(expr("sum(col) div count(1)").as("v"))
+      .collect()
+    val out = cents.clone()
+    for (r <- means)
+      out((r.getInt(0) * kEff + r.getLong(1).toInt) * dsub + r.getInt(2)) =
+        r.getLong(3)
+    out
+  }
+
+  /** IVF-PQ — the third ANN family and the billion-scale memory shape:
+    * coarse IVF routing exactly as [[ivfTop1]], but the inverted lists
+    * store PRODUCT-QUANTIZED codes (m sub-centroid indices — 8 longs
+    * here vs the 64-long vector, and m BYTES in a packed production
+    * layout) and candidates are scored by ASYMMETRIC DISTANCE: each
+    * probe row ships one m×k distance table (pq_dtable kernel) and a
+    * candidate costs m array lookups (pq_adc) — no vector ever crosses
+    * the inverted-list join. All integer-exact, so the full pipeline —
+    * both trainers, codes, ADC scores, the final argmin — reproduces
+    * bit-for-bit in the DuckDB oracle. Output: (vec_id, ann_id). */
+  def ivfPqTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
+      lloydIters: Int = 2, sampleTarget: Int = 100, m: Int = 8, k: Int = 16,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    val n = corpus.count()
+    val coarse = coarseCentroids(corpus, n, kSeeds, lloydIters, sampleTarget)
+    val dim = coarse.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val pq = pqTrain(corpus, n, m, k, dsub, sampleTarget)
+    val kEff = pq.length / (m * dsub)
+    def topSids(nP: Int): Column = EmbedFunctions.ivf_top(col("q"),
+      coarse.flatMap(_._2).toArray, coarse.map(_._1).toArray, nP)
+    val withTop = corpus.select(col("vec_id"), col("q"),
+        posexplode(topSids(nProbe)))
+      .select(col("vec_id"), col("q"),
+        (col("pos") + 1).as("rn"), col("col").as("sid"))
+    val assign = withTop.filter(col("rn") === 1)
+      .select(col("sid"), col("vec_id").as("b_id"),
+        EmbedFunctions.pq_encode(col("q"), pq, m, kEff, dsub).as("codes"))
+    val probe = withTop
+      .select(col("sid"), col("vec_id").as("a_id"),
+        EmbedFunctions.pq_dtable(col("q"), pq, m, kEff, dsub).as("dt"))
+    val scored = probe
+      .join(graft.util.Joins.boundedBroadcast(assign, n, broadcastMaxRows),
+        Seq("sid"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("ad2", EmbedFunctions.pq_adc(col("dt"), col("codes"), kEff))
+    scored.groupBy(col("a_id"))
+      .agg(min(struct(col("ad2"), col("b_id"))).as("mn"))
+      .select(col("a_id").as("vec_id"), col("mn.b_id").as("ann_id"))
+  }
+
+  /** Exact-L2 brute-force top-1 (the comparator for the IVF-PQ recall
+    * gate — ADC approximates squared L2, not the cosine key). Same
+    * bounded-broadcast contract as [[bruteTopK]]. */
+  def bruteL2Top1(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    val emb = corpus.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+    val all = s.sparkContext.broadcast(
+      emb.collect().map { case (id, q) => (id, q.toArray) }.sortBy(_._1))
+    emb.mapPartitions { it =>
+      val cand = all.value
+      it.map { case (id, qSeq) =>
+        val qa = qSeq.toArray
+        var bestId = Long.MaxValue
+        var bestD = Long.MaxValue
+        var ci = 0
+        while (ci < cand.length) {
+          val (oid, qb) = cand(ci)
+          if (oid != id) {
+            var d2 = 0L
+            var j = 0
+            while (j < qa.length) { val d = qa(j) - qb(j); d2 += d * d; j += 1 }
+            if (d2 < bestD || (d2 == bestD && oid < bestId)) {
+              bestD = d2; bestId = oid
+            }
+          }
+          ci += 1
+        }
+        (id, bestId)
+      }
+    }.toDF("vec_id", "nn_id")
   }
 
   /** CORRECTNESS BASELINE — deliberately quadratic, NOT the scale path.
@@ -312,12 +438,12 @@ object Similarity {
        |    b_id) AS rk FROM sc)
        |WHERE rk = 1)""".stripMargin
 
-  /** Shared DuckDB CTE chain for the IVF ANN over the twin-planted
-    * corpus: bounded training sample (25600 = sampleTarget·kSeeds,
-    * mirroring ivfTop1's modulus rule), seeds, two Lloyd iterations
-    * over the SAMPLE, full-corpus ranking, probe×assign scoring —
-    * ending in `ann(a_id, b_id)`. */
-  private def ivfSqlCtes(slice: String): String =
+  /** Shared DuckDB CTE chain for the trained COARSE quantizer over the
+    * twin-planted corpus: bounded training sample (25600 =
+    * sampleTarget·kSeeds, mirroring coarseCentroids' modulus rule),
+    * seeds, two Lloyd iterations over the SAMPLE, full-corpus ranking —
+    * ending in `ranked(vec_id, sid, rn)`. */
+  private def coarseSqlCtes(slice: String): String =
     s"""${corpusSqlCtes(slice)},
        |mm AS (SELECT GREATEST(1, count(*) // 25600) AS m FROM cc),
        |smp AS (SELECT * FROM cc WHERE vec_id % (SELECT m FROM mm) = 0),
@@ -353,7 +479,12 @@ object Similarity {
        |      list_sum(list_transform(range(1, len(cc.q)+1),
        |        i -> CAST((cc.q[i]-s.sq[i])*(cc.q[i]-s.sq[i]) AS BIGINT))),
        |      s.sid) AS rn
-       |  FROM cc, c2 s),
+       |  FROM cc, c2 s)""".stripMargin
+
+  /** Coarse chain + the exact-cosine probe×assign scoring tail —
+    * ending in `ann(a_id, b_id)` (the IVF family oracle). */
+  private def ivfSqlCtes(slice: String): String =
+    s"""${coarseSqlCtes(slice)},
        |assign AS (SELECT r.vec_id AS b_id, r.sid, cb.qd AS qbd, cb.qq AS qqb
        |  FROM ranked r JOIN cc cb ON cb.vec_id = r.vec_id WHERE r.rn = 1),
        |probe AS (SELECT r.vec_id AS a_id, r.sid, ca.qd AS qad, ca.qq AS qqa
@@ -365,6 +496,63 @@ object Similarity {
        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY
        |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * (dot*dot) / den DESC,
        |    b_id) AS rk FROM sc) WHERE rk = 1)""".stripMargin
+
+  /** Coarse chain + the FULL IVF-PQ pipeline: PQ seeds (first 16
+    * vec_id%7==1 rows' subvectors, 8 subspaces × 8 dims), one Lloyd
+    * refinement over the PQ sample (1600 = sampleTarget·k; empty
+    * sub-clusters keep their seed), full-corpus codes, candidates from
+    * the coarse lists, ADC scoring — ending in `ann(a_id, b_id)`. */
+  private def ivfPqSqlCtes(slice: String): String =
+    s"""${coarseSqlCtes(slice)},
+       |pmm AS (SELECT GREATEST(1, count(*) // 1600) AS mq FROM cc),
+       |psmp AS (SELECT * FROM cc WHERE vec_id % (SELECT mq FROM pmm) = 0),
+       |pseed AS (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS cidx
+       |  FROM (SELECT vec_id, q FROM cc WHERE vec_id % 7 = 1
+       |        ORDER BY vec_id LIMIT 16)),
+       |ss AS (SELECT unnest(range(0, 8)) AS s),
+       |di AS (SELECT unnest(range(1, 9)) AS i),
+       |pc0 AS (SELECT s, cidx,
+       |    list_transform(range(1, 9), i -> q[s*8 + i]) AS sv
+       |  FROM pseed, ss),
+       |pa AS (SELECT vec_id, s, cidx FROM (
+       |  SELECT p.vec_id, c.s, c.cidx, row_number() OVER (
+       |    PARTITION BY p.vec_id, c.s ORDER BY
+       |      list_sum(list_transform(range(1, 9),
+       |        i -> CAST((p.q[c.s*8+i] - c.sv[i])*(p.q[c.s*8+i] - c.sv[i]) AS BIGINT))),
+       |      c.cidx) AS rn
+       |  FROM psmp p, pc0 c) WHERE rn = 1),
+       |pmv AS (SELECT a.s, a.cidx, d.i,
+       |    CAST(sum(p.q[a.s*8 + d.i]) AS BIGINT) // count(*) AS v
+       |  FROM pa a JOIN psmp p ON p.vec_id = a.vec_id CROSS JOIN di d
+       |  GROUP BY a.s, a.cidx, d.i),
+       |pc1 AS (SELECT c.s, c.cidx,
+       |    list(coalesce(m.v, c.sv[d.i]) ORDER BY d.i) AS sv
+       |  FROM pc0 c CROSS JOIN di d
+       |    LEFT JOIN pmv m ON m.s = c.s AND m.cidx = c.cidx AND m.i = d.i
+       |  GROUP BY c.s, c.cidx),
+       |pcodes AS (SELECT vec_id, s, cidx FROM (
+       |  SELECT v.vec_id, c.s, c.cidx, row_number() OVER (
+       |    PARTITION BY v.vec_id, c.s ORDER BY
+       |      list_sum(list_transform(range(1, 9),
+       |        i -> CAST((v.q[c.s*8+i] - c.sv[i])*(v.q[c.s*8+i] - c.sv[i]) AS BIGINT))),
+       |      c.cidx) AS rn
+       |  FROM cc v, pc1 c) WHERE rn = 1),
+       |cand AS (SELECT DISTINCT p.vec_id AS a_id, a.vec_id AS b_id
+       |  FROM ranked p JOIN ranked a ON a.sid = p.sid AND a.rn = 1
+       |    AND a.vec_id <> p.vec_id
+       |  WHERE p.rn <= 2),
+       |adc AS (SELECT c.a_id, c.b_id,
+       |    CAST(sum(list_sum(list_transform(range(1, 9),
+       |      i -> CAST((qa.q[cb.s*8+i] - pc.sv[i])*(qa.q[cb.s*8+i] - pc.sv[i]) AS BIGINT)))) AS BIGINT) AS ad2
+       |  FROM cand c
+       |    JOIN pcodes cb ON cb.vec_id = c.b_id
+       |    JOIN pc1 pc ON pc.s = cb.s AND pc.cidx = cb.cidx
+       |    JOIN cc qa ON qa.vec_id = c.a_id
+       |  GROUP BY c.a_id, c.b_id),
+       |ann AS (SELECT a_id, b_id FROM (
+       |  SELECT a_id, b_id, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY ad2, b_id) AS rk
+       |  FROM adc) WHERE rk = 1)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -420,6 +608,52 @@ object Similarity {
       Some(s"""WITH ${ivfSqlCtes("")}
              |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
              |ORDER BY vec_id""".stripMargin)),
+
+    // third ANN family: IVF-PQ — coarse routing + product-quantized
+    // inverted lists + asymmetric-distance scoring, the billion-scale
+    // memory shape; the full pipeline (both trainers, codes, ADC,
+    // argmin) reproduces bit-for-bit in SQL
+    QueryDef(
+      "q_embed_ann_ivfpq",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = false)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        ivfPqTop1(corpus).orderBy("vec_id")
+      },
+      Some(s"""WITH ${ivfPqSqlCtes("")}
+             |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
+             |ORDER BY vec_id""".stripMargin)),
+
+    // recall@1 of the IVF-PQ path vs exact-L2 brute force on the
+    // sliced corpus (ADC approximates squared L2, so L2 — not the
+    // cosine key — is its ground truth); floor in SimilaritySpec
+    QueryDef(
+      "q_embed_ann_ivfpq_recall",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = true)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        val ann = ivfPqTop1(corpus).select(col("vec_id"), col("ann_id"))
+        val exact = bruteL2Top1(s, corpus)
+        exact.join(ann, Seq("vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("ann_id") === col("nn_id"), 1L).otherwise(0L)).as("n_hit"))
+          .select(col("n_eval"), col("n_hit"),
+            expr("n_hit * 1000 DIV n_eval").as("recall_milli"))
+      },
+      Some(s"""WITH ${ivfPqSqlCtes(" WHERE vec_id % 4 = 0")},
+             |bf AS (SELECT vec_id, nn_id FROM (
+             |  SELECT a.vec_id, b.vec_id AS nn_id,
+             |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |      list_sum(list_transform(range(1, len(a.q)+1),
+             |        i -> CAST((a.q[i]-b.q[i])*(a.q[i]-b.q[i]) AS BIGINT))),
+             |      b.vec_id) AS rk
+             |  FROM cc a, cc b WHERE a.vec_id <> b.vec_id)
+             |  WHERE rk = 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+             |  CAST(sum(CASE WHEN ann.b_id = bf.nn_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  CAST(sum(CASE WHEN ann.b_id = bf.nn_id THEN 1 ELSE 0 END) * 1000
+             |    // count(*) AS BIGINT) AS recall_milli
+             |FROM bf LEFT JOIN ann ON ann.a_id = bf.vec_id""".stripMargin)),
 
     // recall@1 of the IVF path vs the sliced brute force on the SAME
     // twin-planted corpus — the IVF twin of q_embed_ann_recall. The

@@ -86,6 +86,63 @@ class EmbedExpressionsSpec extends AnyFunSuite {
     assert(mid == Seq(102L, 103L))
   }
 
+  test("pq_encode / pq_dtable / pq_adc match the scalar oracle; codegen ≡ interpreted") {
+    val m = 8; val k = 4; val dsub = 8
+    // codebook: centroid c of subspace s = constant (s*10 + c*3 - 4)
+    val cents = Array.tabulate(m * k * dsub) { f =>
+      val s = f / (k * dsub); val c = (f / dsub) % k
+      (s * 10 + c * 3 - 4).toLong
+    }
+    def oracleEncode(q: Array[Long]): Seq[Long] =
+      (0 until m).map { s =>
+        (0 until k).map { c =>
+          ((0 until dsub).map { j =>
+            val d = q(s * dsub + j) - cents((s * k + c) * dsub + j); d * d
+          }.sum, c.toLong)
+        }.min._2
+      }
+    def oracleAdc(q: Array[Long], codes: Seq[Long]): Long =
+      (0 until m).map { s =>
+        val c = codes(s).toInt
+        (0 until dsub).map { j =>
+          val d = q(s * dsub + j) - cents((s * k + c) * dsub + j); d * d
+        }.sum
+      }.sum
+    def run(): Seq[(Seq[Long], Long)] = vecs.map(_._1).toDF("q")
+      .select(EmbedFunctions.pq_encode($"q", cents, m, k, dsub).as("codes"),
+        EmbedFunctions.pq_adc(
+          EmbedFunctions.pq_dtable($"q", cents, m, k, dsub),
+          EmbedFunctions.pq_encode($"q", cents, m, k, dsub), k).as("ad2"))
+      .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1))).toSeq
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fused = run()
+      assert(interp == fused)
+      val want = vecs.map(_._1).map { q =>
+        val codes = oracleEncode(q)
+        (codes, oracleAdc(q, codes))
+      }
+      assert(interp == want)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+    // ADC of a vector's own codes lower-bounds nothing but must equal
+    // the dtable lookups exactly: self-consistency already covered —
+    // also check a tie resolves to the SMALLEST index (two identical
+    // centroids): c1 == c2 in a doctored codebook
+    val tieCents = cents.clone()
+    for (j <- 0 until dsub) // make centroid 2 of subspace 0 == centroid 1
+      tieCents((0 * k + 2) * dsub + j) = tieCents((0 * k + 1) * dsub + j)
+    val tied = vecs.take(5).map(_._1).toDF("q")
+      .select(EmbedFunctions.pq_encode($"q", tieCents, m, k, dsub))
+      .collect().map(_.getSeq[Long](0).head)
+    assert(!tied.contains(2L), "equidistant sub-centroids must pick the smaller index")
+  }
+
   test("dimension mismatch fails loudly") {
     val df = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
     intercept[Exception] {

@@ -100,6 +100,28 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF recall@1 $milli‰ below the 900‰ floor ($nHit/$nEval)")
   }
 
+  test("q_embed_ann_ivfpq_recall reports recall@1 above the 0.85 floor") {
+    val row = SparkEntry.queries("q_embed_ann_ivfpq_recall")(spark, sf).collect().head
+    val (nEval, nHit, milli) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    info(s"ivfpq recall gate: $nHit/$nEval = ${milli / 1000.0}")
+    // ADC is an approximation of L2 on top of nProbe=2 routing — the
+    // loosest floor of the three families (measured 1.000 at fixture
+    // scale; the floor guards against quantizer degradation)
+    assert(nEval > 0 && milli >= 850,
+      s"IVF-PQ recall@1 $milli‰ below the 850‰ floor ($nHit/$nEval)")
+  }
+
+  test("ANN-IVFPQ finds the planted twin for nearly every vector") {
+    val got = SparkEntry.queries("q_embed_ann_ivfpq")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val baseIds = qvecs.keySet
+    val twinHits = baseIds.count(id => got.get(id).contains(id + 1000000L))
+    val twinRecall = twinHits.toDouble / baseIds.size
+    info(f"IVF-PQ twin recall@1 = $twinRecall%.3f (coverage ${got.size}/${corpus.size})")
+    assert(twinRecall >= 0.90, f"IVF-PQ twin recall $twinRecall%.3f below floor")
+  }
+
   test("ANN-LSH finds the planted twin for nearly every vector") {
     val got = SparkEntry.queries("q_embed_ann_lsh")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
