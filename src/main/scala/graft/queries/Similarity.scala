@@ -61,20 +61,26 @@ object Similarity {
     * ([[graft.util.Joins.boundedBroadcast]]) — a forced broadcast of a
     * 10^9-vector band table is the same unbounded-broadcast failure the
     * kNN probe fixed in round 4. The count makes this method eager. */
-  def annTopK(corpus: DataFrame, k: Int = 1, cap: Int = 1024,
-      broadcastMaxRows: Long = 1000000L): DataFrame = {
-    val nEst = 4L * corpus.count()
+  /** LSH-bucketed corpus with the deterministic per-bucket cap —
+    * bounds every within-bucket join at ANY scale (inert at test
+    * scale — buckets are tiny). Shared by [[annTopK]] and
+    * [[embedDedupPairs]]. */
+  private def cappedBands(corpus: DataFrame, cap: Int): DataFrame = {
     val keyed = corpus
       .select(col("vec_id"), col("q"), col("qq"),
         posexplode(EmbedFunctions.lsh_buckets(col("q"))))
       .select(col("vec_id"), col("q"), col("qq"),
         col("pos").as("t"), col("col").as("bucket"))
-    // deterministic per-bucket cap: bounds the within-bucket join at
-    // ANY scale (inert at test scale — buckets are tiny)
     val wCap = Window.partitionBy("t", "bucket")
       .orderBy(pmod(col("vec_id") * 2654435761L, lit(1000000007L)), col("vec_id"))
-    val capped = keyed.withColumn("rn", row_number().over(wCap))
+    keyed.withColumn("rn", row_number().over(wCap))
       .filter(col("rn") <= cap).drop("rn")
+  }
+
+  def annTopK(corpus: DataFrame, k: Int = 1, cap: Int = 1024,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
+    val nEst = 4L * corpus.count()
+    val capped = cappedBands(corpus, cap)
     val den = col("qqa").cast("double") * col("qqb").cast("double")
     val num = col("dot").cast("double") * col("dot").cast("double")
     def score(pairs: DataFrame): DataFrame = pairs
@@ -221,6 +227,43 @@ object Similarity {
     scored.groupBy(col("a_id"))
       .agg(min(struct(negate(col("key")), col("b_id"))).as("m"))
       .select(col("a_id").as("vec_id"), col("m.b_id").as("ann_id"))
+  }
+
+  /** Embedding-cosine NEAR-DUP PAIRS (the embedding member of the
+    * dedup family): LSH bucket candidates (same 4×16-bit tables and
+    * per-bucket caps as [[annTopK]]) verified by the exact quantized
+    * cosine — pairs with cos² ≥ threshMilli/1000 and positive dot.
+    * Never all-pairs; the bucket join is the only candidate source, so
+    * recall follows the LSH table count exactly like the text
+    * minhash-LSH dedup. Output: (d1, d2, cos2_milli), d1 < d2. */
+  def embedDedupPairs(corpus: DataFrame, threshMilli: Int = 980,
+      cap: Int = 1024, broadcastMaxRows: Long = 1000000L): DataFrame = {
+    val nEst = 4L * corpus.count()
+    val capped = cappedBands(corpus, cap)
+    val thin = capped.select("t", "bucket", "vec_id")
+    val pairs = thin.select(col("t"), col("bucket"), col("vec_id").as("d1"))
+      .join(graft.util.Joins.boundedBroadcast(
+        thin.select(col("t"), col("bucket"), col("vec_id").as("d2")),
+        nEst, broadcastMaxRows), Seq("t", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val qtab = corpus.select(col("vec_id"), col("q"), col("qq"))
+    pairs
+      .join(graft.util.Joins.boundedBroadcast(
+        qtab.select(col("vec_id").as("d1"), col("q").as("qa"),
+          col("qq").as("qqa")), nEst / 4, broadcastMaxRows), "d1")
+      .join(graft.util.Joins.boundedBroadcast(
+        qtab.select(col("vec_id").as("d2"), col("q").as("qb"),
+          col("qq").as("qqb")), nEst / 4, broadcastMaxRows), "d2")
+      .withColumn("dot", EmbedFunctions.vec_dot(col("qa"), col("qb")))
+      .withColumn("key", {
+        val den = col("qqa").cast("double") * col("qqb").cast("double")
+        val num = col("dot").cast("double") * col("dot").cast("double")
+        when(col("dot") < 0, -(num / den)).otherwise(num / den)
+      })
+      .withColumn("cos2_milli", floor(col("key") * 1000).cast("long"))
+      .filter(col("cos2_milli") >= threshMilli)
+      .select("d1", "d2", "cos2_milli")
   }
 
   /** Trained PQ codebook: flat m×k×dsub, sub-centroids ordered by
@@ -409,8 +452,9 @@ object Similarity {
        |  FROM c0),
        |cc AS (SELECT * FROM c WHERE qq > 0)""".stripMargin
 
-  /** Shared DuckDB CTE chain for the LSH ANN over that corpus. */
-  private def annSqlCtes(slice: String): String =
+  /** DuckDB CTE chain for the LSH candidate generation + exact scoring
+    * — ending in `sc(a_id, b_id, dot, den)` (both pair directions). */
+  private def lshScoredSqlCtes(slice: String): String =
     s"""${corpusSqlCtes(slice)},
        |hp AS (SELECT t, k,
        |    list_transform(range(0, 64), i ->
@@ -431,7 +475,11 @@ object Similarity {
        |sc AS (SELECT pr.a_id, pr.b_id,
        |    list_inner_product(ca.qd, cb.qd) AS dot, ca.qq*cb.qq AS den
        |  FROM pr JOIN cc ca ON ca.vec_id = pr.a_id
-       |    JOIN cc cb ON cb.vec_id = pr.b_id),
+       |    JOIN cc cb ON cb.vec_id = pr.b_id)""".stripMargin
+
+  /** Shared DuckDB CTE chain for the LSH ANN over that corpus. */
+  private def annSqlCtes(slice: String): String =
+    s"""${lshScoredSqlCtes(slice)},
        |ann AS (SELECT a_id, b_id FROM (
        |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id ORDER BY
        |    (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * (dot*dot) / den DESC,
@@ -608,6 +656,26 @@ object Similarity {
       Some(s"""WITH ${ivfSqlCtes("")}
              |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
              |ORDER BY vec_id""".stripMargin)),
+
+    // the embedding member of the DEDUP family: thresholded near-dup
+    // pairs (LSH candidates + exact quantized-cosine verify) — every
+    // planted twin pair must surface with cos2_milli ≈ 999
+    QueryDef(
+      "q_embed_dedup",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = false)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        embedDedupPairs(corpus).orderBy("d1", "d2")
+      },
+      Some(s"""WITH ${lshScoredSqlCtes("")}
+             |SELECT a_id AS d1, b_id AS d2,
+             |  CAST(floor(1000 * (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+             |    * (dot*dot) / den) AS BIGINT) AS cos2_milli
+             |FROM sc
+             |WHERE a_id < b_id
+             |  AND CAST(floor(1000 * (CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+             |    * (dot*dot) / den) AS BIGINT) >= 980
+             |ORDER BY d1, d2""".stripMargin)),
 
     // third ANN family: IVF-PQ — coarse routing + product-quantized
     // inverted lists + asymmetric-distance scoring, the billion-scale

@@ -111,6 +111,24 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ recall@1 $milli‰ below the 850‰ floor ($nHit/$nEval)")
   }
 
+  test("embedding near-dup pairs recover the planted twins; every pair verifies exactly") {
+    val got = SparkEntry.queries("q_embed_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // twin pairs (id, id+1e6) are cos² ≈ 0.9999 — ≥95% must surface
+    val baseIds = qvecs.keySet.filter(id => corpus(id).exists(_ != 0L))
+    val twinHit = baseIds.count(id => got.contains((id, id + 1000000L)))
+    info(f"twin-pair recall = ${twinHit.toDouble / baseIds.size}%.3f (${got.size} pairs)")
+    assert(twinHit.toDouble / baseIds.size >= 0.95)
+    // every emitted pair re-verifies against the Scala key at the
+    // gate's threshold — no false positives from the bucket join
+    for (((d1, d2), milli) <- got) {
+      val k = key(corpus(d1), corpus(d2))
+      assert(math.floor(k * 1000).toLong == milli, s"pair ($d1,$d2)")
+      assert(milli >= 980)
+    }
+  }
+
   test("ANN-IVFPQ finds the planted twin for nearly every vector") {
     val got = SparkEntry.queries("q_embed_ann_ivfpq")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
