@@ -89,6 +89,53 @@ object Replication {
         })
   }
 
+  final case class DedupDocTs(docId: Long, fp: Long, ts: java.sql.Timestamp)
+
+  /** BOUNDED-STATE streaming dedup — the form that survives an
+    * unbounded 100 TB stream: state per fingerprint expires on an
+    * EVENT-TIME timeout once the watermark passes lastSeen + ttl, so
+    * total state is O(distinct fingerprints within the ttl horizon),
+    * not O(all history). Semantics: a duplicate arriving while its
+    * fingerprint's state is live is swallowed; after expiry the next
+    * occurrence is emitted again (the standard TTL'd-dedup contract —
+    * exact dedup within the horizon, best-effort beyond it). Input:
+    * (doc_id BIGINT, fp BIGINT, ts TIMESTAMP event time). */
+  def streamingDedupTtl(spark: SparkSession, docs: DataFrame,
+      ttlMs: Long = 3600000L, watermark: String = "0 seconds"): Dataset[DedupDocTs] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("docId"), col("fp"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[DedupDocTs]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[DedupDocTs], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + ttl with no new data: forget
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val newest = batch.map(_.ts.getTime).max
+            // the timeout callback only fires for DATA-LESS groups, so
+            // a fingerprint that receives data after its horizon must
+            // detect expiry itself against the current watermark
+            val live = state.exists &&
+              state.get + ttlMs >= state.getCurrentWatermarkMs()
+            val out =
+              if (live) Iterator.empty
+              else Iterator(batch.minBy(d => (d.docId, d.ts.getTime)))
+            // refresh the horizon from the newest occurrence either way
+            // (sliding ttl); the timeout must stay above the watermark
+            // or the API rejects it (late rows can otherwise place it
+            // in the past)
+            state.update(math.max(state.getOption.getOrElse(0L), newest))
+            state.setTimeoutTimestamp(
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out
+          }
+        })
+  }
+
   /** Watermarked tumbling-window counts over an event stream with
     * (ts TIMESTAMP, event_type STRING, value DOUBLE). */
   def windowedEventCounts(events: DataFrame,

@@ -93,6 +93,45 @@ class ReplicationSpec extends AnyFunSuite {
     assert(out == Seq((1L, 100L), (2L, 200L), (6L, 300L)), s"got $out")
   }
 
+  test("TTL'd streaming dedup: live state swallows replays, expired state re-emits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-dedup-ttl").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // batch 1: fp 7 first seen (t=0) + replay in-batch; fp 8 seen
+    Seq((10L, 7L, ts(0)), (11L, 7L, ts(0)), (20L, 8L, ts(1)))
+      .toDF("doc_id", "fp", "ts").coalesce(1).write.parquet(s"$dir/b1")
+    // batch 2 (event time +10min, inside the 1h ttl): fp 7 replays —
+    // swallowed; watermark advances to t=10min
+    Seq((12L, 7L, ts(10))).toDF("doc_id", "fp", "ts")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    // batch 3 (event time +3h): watermark jumps past every horizon;
+    // batch 4 then re-presents fp 7 — state expired, re-emitted
+    Seq((90L, 9L, ts(180))).toDF("doc_id", "fp", "ts")
+      .coalesce(1).write.parquet(s"$dir/b3")
+    Seq((13L, 7L, ts(181))).toDF("doc_id", "fp", "ts")
+      .coalesce(1).write.parquet(s"$dir/b4")
+    for ((b, i) <- Seq("b1", "b2", "b3", "b4").zipWithIndex) {
+      val f = Files.list(java.nio.file.Paths.get(dir, b))
+        .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+      val dst = java.nio.file.Paths.get(dir, f"in-$i%02d.parquet")
+      Files.move(f, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+    val schema = "doc_id BIGINT, fp BIGINT, ts TIMESTAMP"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Replication.streamingDedupTtl(spark, stream, ttlMs = 3600000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_ttl").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // 10 kept (11 swallowed in-batch, 12 swallowed while live),
+    // 13 RE-emitted after expiry, 20 and 90 first-seen
+    assert(got == Seq((10L, 7L), (13L, 7L), (20L, 8L), (90L, 9L)), s"got=$got")
+  }
+
   test("watermarked tumbling-window counts match the batch equivalent") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val dir = Files.createTempDirectory("graft-events").toString
