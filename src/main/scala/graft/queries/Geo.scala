@@ -136,6 +136,59 @@ object Geo {
               |FROM a, lv
               |GROUP BY 1, 2 ORDER BY cell""".stripMargin)),
 
+    // raster→vector (north rule "raster↔vector"): polygonize the
+    // ≥2-point cells of the event raster at level 7 into boundary
+    // rings. The oracle recomputes regions relationally (recursive-CTE
+    // 4-adjacency closure), perimeter as Σ(4 − neighbours), and states
+    // area2 = 2·n_cells — which Spark derives FROM THE ASSEMBLED RINGS
+    // (signed shoelace), so ring geometry is value-checked through the
+    // relational oracle; ring-level semantics are pinned in
+    // VectorizeSpec (winding, holes, pinches, JTS validity).
+    QueryDef(
+      "q_vectorize",
+      (s, d) => {
+        // density-adaptive threshold (2 + mean points per grid cell):
+        // keeps the kept-cell fraction SUBCRITICAL for site percolation
+        // (≈0.59 on the square lattice) at any SF, so regions stay
+        // small and the label-propagation diameter bounded — the same
+        // rule a production rasterizer applies before polygonizing
+        val nEvents = Tables.t(s, d, "events").count()
+        val thresh = 2L + nEvents / 16384L
+        val cells = eventPoints(s, d)
+          .select(G.cell_encode(col("lat7"), col("lon7"), lit(7)).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= thresh).select("cell")
+        graft.geo.Vectorize.vectorize(s, cells, 7)
+          .select("region_id", "n_cells", "perimeter", "area2",
+            "min_x", "min_y", "max_x", "max_y")
+          .orderBy("region_id")
+      },
+      Some(s"""WITH RECURSIVE p AS ($eventPointsSql),
+              |b AS (SELECT
+              |    least(((lat7 + 900000000) * 128) // 1800000000, 127) AS y,
+              |    least(((lon7 + 1800000000) * 128) // 3600000000, 127) AS x
+              |  FROM p),
+              |cl AS (SELECT x, y FROM b GROUP BY x, y
+              |  HAVING count(*) >= 2 + (SELECT count(*) FROM p) // 16384),
+              |e AS (SELECT a.x AS ax, a.y AS ay, c.x AS bx, c.y AS by
+              |  FROM cl a JOIN cl c ON abs(a.x - c.x) + abs(a.y - c.y) = 1),
+              |rc AS (SELECT x, y, x AS rx, y AS ry FROM cl
+              |  UNION SELECT rc.x, rc.y, e.bx, e.by
+              |  FROM rc JOIN e ON rc.rx = e.ax AND rc.ry = e.ay),
+              |comp AS (SELECT x, y,
+              |    min((CAST(7 AS BIGINT) << 58) + (CAST(ry AS BIGINT) << 7)
+              |      + CAST(rx AS BIGINT)) AS region_id
+              |  FROM rc GROUP BY x, y),
+              |nb AS (SELECT ax AS x, ay AS y, count(*) AS nn FROM e GROUP BY 1, 2)
+              |SELECT c.region_id,
+              |  count(*) AS n_cells,
+              |  CAST(sum(4 - coalesce(nb.nn, 0)) AS BIGINT) AS perimeter,
+              |  CAST(2 * count(*) AS BIGINT) AS area2,
+              |  CAST(min(c.x) AS BIGINT) AS min_x, CAST(min(c.y) AS BIGINT) AS min_y,
+              |  CAST(max(c.x) AS BIGINT) AS max_x, CAST(max(c.y) AS BIGINT) AS max_y
+              |FROM comp c LEFT JOIN nb ON nb.x = c.x AND nb.y = c.y
+              |GROUP BY c.region_id ORDER BY c.region_id""".stripMargin)),
+
     // J5 skeleton: PIP against a rectangle ≡ BETWEEN (boundary=inside)
     QueryDef(
       "q_pip_rect",

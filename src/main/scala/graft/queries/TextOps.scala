@@ -295,56 +295,9 @@ object TextOps {
         val pairs = verifiedPairs(s, d).select("d1", "d2")
         val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
           .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-        // Dataset.localCheckpoint: materializes ONCE (stats-truncating,
-        // lineage-cutting) and stays in Tungsten InternalRow format —
-        // round ≤3 dropped to RDD[Row] per round for an accumulator
-        // convergence count, paying Row↔InternalRow conversion both
-        // ways every round (the single most expensive bench query)
-        val edgesM = edges.localCheckpoint()
-        // seed with round 1 FUSED into initialization: the edge table
-        // carries both endpoints, so min(self, min(neighbour)) needs no
-        // join — one propagation round (join + checkpoint + count)
-        // disappears from every run
-        var labels = edgesM.groupBy("a").agg(min(col("b")).as("mb"))
-          .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
-          .localCheckpoint()
-        var converged = false
-        var round = 0
-        while (!converged && round < 50) {
-          // the self row is tagged so ONE aggregation yields both the
-          // new label and the old one; the materializing checkpoint is
-          // the round's one real job — the convergence count after it
-          // is a map-side-combined scan of the freshly cached blocks
-          val step = edgesM.join(labels, edgesM("a") === labels("node"))
-            .select(col("b").as("node"), col("comp"), lit(false).as("self"))
-            .union(labels.withColumn("self", lit(true)))
-            .groupBy("node").agg(min(col("comp")).as("comp"),
-              min(when(col("self"), col("comp"))).as("old"))
-            .localCheckpoint()
-          val changed = step.filter(col("comp") =!= col("old")).count()
-          labels = step.select("node", "comp")
-          // Dataset.localCheckpoint keeps the ORIGIN plan's statistics,
-          // and each round's join multiplies them — left unchecked the
-          // size-estimate BigInts grow a factor-of-2 EXPONENT per round
-          // and hang the driver around round ~25 (measured in round 1;
-          // dup clusters converge in 2-3 rounds, so the expensive
-          // RDD-rebuild stat reset runs only on pathologically deep
-          // graphs, every 8 rounds)
-          if (round % 8 == 7)
-            labels = s.createDataFrame(
-              { val r = labels.rdd; r.localCheckpoint(); r.count(); r },
-              labels.schema)
-          converged = changed == 0L
-          round += 1
-          if (sys.env.contains("GRAFT_CC_DEBUG"))
-            println(f"[cc] round $round changed=$changed t=${System.nanoTime() / 1e9}%.2f")
-        }
-        // a chain with component diameter > the round cap would emit
-        // WRONG cluster ids — fail loudly instead (plausible at corpus
-        // scale; raise the cap or switch to pointer-jumping if hit)
-        require(converged,
-          s"label propagation did not converge within $round rounds")
-        labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+        graft.util.LabelProp.components(s, edges, debugTag = "cc",
+            shufflePartitions = Some(8))
+          .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy("doc_id")
       },
       Some(s"""$verifiedPairsCte,
