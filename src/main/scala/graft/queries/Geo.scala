@@ -147,17 +147,28 @@ object Geo {
     QueryDef(
       "q_vectorize",
       (s, d) => {
-        // density-adaptive threshold (2 + mean points per grid cell):
-        // keeps the kept-cell fraction SUBCRITICAL for site percolation
-        // (≈0.59 on the square lattice) at any SF, so regions stay
-        // small and the label-propagation diameter bounded — the same
-        // rule a production rasterizer applies before polygonizing
-        val nEvents = Tables.t(s, d, "events").count()
-        val thresh = 2L + nEvents / 16384L
-        val cells = eventPoints(s, d)
+        // density-adaptive threshold: the smallest per-cell count whose
+        // tail keeps at most 45% of the 128×128 grid occupied — always
+        // SUBCRITICAL for site percolation (≈0.59 on the square
+        // lattice), so regions stay small and the propagation diameter
+        // bounded at ANY SF, while sparse rasters keep every occupied
+        // cell (the rule a production rasterizer applies before
+        // polygonizing). Derived from a tiny count histogram, mirrored
+        // exactly by the oracle's window over the same histogram.
+        val perCell = eventPoints(s, d)
           .select(G.cell_encode(col("lat7"), col("lon7"), lit(7)).as("cell"))
           .groupBy("cell").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= thresh).select("cell")
+          .localCheckpoint()
+        val hist = perCell.groupBy("n").count().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+        val limit = 7372L // 0.45 * 16384
+        var geq = 0L
+        var thresh = hist.map(_._1).max + 1
+        for ((cnt, k) <- hist) {
+          geq += k
+          if (geq <= limit) thresh = cnt
+        }
+        val cells = perCell.filter(col("n") >= thresh).select("cell")
         graft.geo.Vectorize.vectorize(s, cells, 7)
           .select("region_id", "n_cells", "perimeter", "area2",
             "min_x", "min_y", "max_x", "max_y")
@@ -168,8 +179,12 @@ object Geo {
               |    least(((lat7 + 900000000) * 128) // 1800000000, 127) AS y,
               |    least(((lon7 + 1800000000) * 128) // 3600000000, 127) AS x
               |  FROM p),
-              |cl AS (SELECT x, y FROM b GROUP BY x, y
-              |  HAVING count(*) >= 2 + (SELECT count(*) FROM p) // 16384),
+              |pc AS (SELECT x, y, count(*) AS cnt FROM b GROUP BY x, y),
+              |thr AS (SELECT min(cnt) AS t FROM (
+              |  SELECT cnt, sum(k) OVER (ORDER BY cnt DESC) AS geq
+              |  FROM (SELECT cnt, count(*) AS k FROM pc GROUP BY cnt))
+              |  WHERE geq <= 7372),
+              |cl AS (SELECT x, y FROM pc WHERE cnt >= (SELECT t FROM thr)),
               |e AS (SELECT a.x AS ax, a.y AS ay, c.x AS bx, c.y AS by
               |  FROM cl a JOIN cl c ON abs(a.x - c.x) + abs(a.y - c.y) = 1),
               |rc AS (SELECT x, y, x AS rx, y AS ry FROM cl
