@@ -222,9 +222,14 @@ object Bench {
     // q_multimodal's throwaway run stages the session-cached media
     // table (PNG/WAV synthesis), so its timed row measures the decode +
     // feature operator, not fixture construction
+    // q_stream_dedup_ttl's throwaway stages its 4 event-time batch
+    // files; q_admin_incremental's compiles the diff-apply + restricted
+    // rebuild path (its timed row then measures the incremental
+    // maintenance itself)
     for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
         "q_embed_ann_ivf_recall", "q_embed_ann_ivfpq_recall", "q_page_knn",
-        "q_multimodal", "q_stream_dedup", "q_knn_centres", "q_osc_upsert",
+        "q_multimodal", "q_stream_dedup", "q_stream_dedup_ttl",
+        "q_admin_incremental", "q_knn_centres", "q_osc_upsert",
         "q_vectorize"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }

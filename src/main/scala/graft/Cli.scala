@@ -30,6 +30,11 @@ import graft.synth.Pages
   *     incremental admin maintenance: apply replication diffs and
   *     rebuild ONLY the touched relations' areas + cover rows, carrying
   *     the rest over from <prevAdminDir> unchanged
+  *   graft.Cli extract <in.osm.pbf> <bbox|relation_id> <out.osm.pbf>
+  *     referentially-complete regional extract: nodes in region (bbox
+  *     'l,b,r,t' in degrees, or an admin relation's multipolygon
+  *     assembled from the input) + complete ways + clipped relations,
+  *     Type_then_ID output (directory form; --single-file supported)
   *   graft.Cli join <in.osm.pbf> <nPages> <outDir>  spatial join + knn + tiles
   *   graft.Cli vacuum <snapshotRoot> [--keep=N]  drop superseded stage
   *     versions (default keep=1 newest per stage; lineage-referenced
@@ -198,6 +203,18 @@ object Cli {
           println(s"[graft] vacuum $root (keep=$keep): dropped " +
             s"${dropped.length} superseded stage version(s)" +
             (if (dropped.isEmpty) "" else dropped.mkString(": ", ", ", "")))
+        case "extract" :: in :: region :: out :: Nil =>
+          val osm = PbfRead.read(spark, in)
+          val sub =
+            if (region.contains(",")) {
+              val (l, r, t, b) = PbfWrite.parseBoundingBox(region)
+              graft.jobs.Extract.bbox(spark, osm, l, b, r, t)
+            } else graft.jobs.Extract.byRelation(spark, osm, region.toLong)
+          PbfWrite.write(spark, sub, out,
+            info = PbfWrite.PbfInfo(calcBBox = true,
+              source = Some(s"extract:$region")),
+            singleFile = opts.contains("single-file"))
+          println(s"[graft] extracted $in ($region) -> $out")
         case "join" :: in :: n :: out :: Nil =>
           val areas = AdminAreas.build(spark, PbfRead.read(spark, in))
           val o = SpatialJoin.run(spark, Pages.generate(spark, n.toLong), areas)
@@ -208,7 +225,7 @@ object Cli {
         case other =>
           System.err.println(
             "usage: import|export|import-pgdump|export-pgdump|apply-osc|" +
-              s"admin|update-admin|join|vacuum ... (see graft.Cli scaladoc; got: $other)")
+              s"admin|update-admin|extract|join|vacuum ... (see graft.Cli scaladoc; got: $other)")
           sys.exit(2)
       }
     }

@@ -122,25 +122,62 @@ object EmbedRT {
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {
-      var best = Long.MaxValue
-      var bestI = 0
-      var c = 0
-      while (c < k) {
-        var d2 = 0L
-        val off = (s * k + c) * dsub
-        var j = 0
-        while (j < dsub) {
-          val d = q.getLong(s * dsub + j) - cents(off + j)
-          d2 += d * d
-          j += 1
-        }
-        if (d2 < best) { best = d2; bestI = c }
-        c += 1
-      }
-      out(s) = bestI.toLong
+      out(s) = nearestSub(q, cents, s, k, dsub).toLong
       s += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Nearest sub-centroid index for subspace `s` (ties → smallest). */
+  @inline private def nearestSub(q: ArrayData, cents: Array[Long], s: Int,
+      k: Int, dsub: Int): Int = {
+    var best = Long.MaxValue
+    var bestI = 0
+    var c = 0
+    while (c < k) {
+      var d2 = 0L
+      val off = (s * k + c) * dsub
+      var j = 0
+      while (j < dsub) {
+        val d = q.getLong(s * dsub + j) - cents(off + j)
+        d2 += d * d
+        j += 1
+      }
+      if (d2 < best) { best = d2; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
+  /** PACKED PQ encode: identical indices to [[pqEncode]] but ONE BYTE
+    * per subspace (requires k ≤ 256) — the inverted-list layout that
+    * fits 10^9 vectors in executor memory: m+8 bytes per code column
+    * row instead of m 8-byte longs inside an ArrayData. */
+  def pqEncodePacked(q: ArrayData, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): Array[Byte] = {
+    require(q.numElements() == m * dsub, "dim != m*dsub")
+    require(cents.length == m * k * dsub, "codebook shape mismatch")
+    require(k <= 256, s"packed codes need k <= 256 (got $k)")
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      out(s) = nearestSub(q, cents, s, k, dsub).toByte
+      s += 1
+    }
+    out
+  }
+
+  /** ADC over PACKED codes: Σ_s dtable[s*k + (codes[s] & 0xff)]. */
+  def pqAdcPacked(dtable: ArrayData, codes: Array[Byte], k: Int): Long = {
+    require(dtable.numElements() == codes.length * k,
+      "dtable/codes shape mismatch")
+    var acc = 0L
+    var s = 0
+    while (s < codes.length) {
+      acc += dtable.getLong(s * k + (codes(s) & 0xff))
+      s += 1
+    }
+    acc
   }
 
   /** PQ asymmetric distance table for a QUERY vector: dt[s*k + c] =
@@ -284,6 +321,41 @@ case class PqDtableExpr(q: Expression, cents: Array[Long], m: Int, k: Int,
     copy(q = c)
 }
 
+/** pq_encode_packed(q) → BINARY[m] — one byte per subspace (k ≤ 256):
+  * the billion-scale inverted-list layout ([[EmbedRT.pqEncodePacked]]);
+  * same indices as [[PqEncodeExpr]], which the trainer keeps for its
+  * per-subspace explode over the bounded sample. */
+case class PqEncodePackedExpr(q: Expression, cents: Array[Long], m: Int,
+    k: Int, dsub: Int) extends UnaryExpression {
+  override def child: Expression = q
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    EmbedRT.pqEncodePacked(a.asInstanceOf[ArrayData], cents, m, k, dsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCents", cents, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.EmbedRT.pqEncodePacked($c, $cRef, $m, $k, $dsub)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodePackedExpr =
+    copy(q = c)
+}
+
+/** pq_adc_packed(dtable, codes BINARY) → BIGINT approximate squared L2. */
+case class PqAdcPackedExpr(dtable: Expression, codes: Expression, k: Int)
+    extends BinaryExpression {
+  override def left: Expression = dtable
+  override def right: Expression = codes
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    EmbedRT.pqAdcPacked(x.asInstanceOf[ArrayData], y.asInstanceOf[Array[Byte]], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.expr.EmbedRT.pqAdcPacked($l, $r, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcPackedExpr =
+    copy(dtable = l, codes = r)
+}
+
 /** pq_adc(dtable, codes) → BIGINT approximate squared L2. */
 case class PqAdcExpr(dtable: Expression, codes: Expression, k: Int)
     extends BinaryExpression {
@@ -317,4 +389,9 @@ object EmbedFunctions {
     column(PqDtableExpr(expression(q), cents, m, k, dsub))
   def pq_adc(dtable: Column, codes: Column, k: Int): Column =
     column(PqAdcExpr(expression(dtable), expression(codes), k))
+  def pq_encode_packed(q: Column, cents: Array[Long], m: Int, k: Int,
+      dsub: Int): Column =
+    column(PqEncodePackedExpr(expression(q), cents, m, k, dsub))
+  def pq_adc_packed(dtable: Column, codes: Column, k: Int): Column =
+    column(PqAdcPackedExpr(expression(dtable), expression(codes), k))
 }

@@ -338,8 +338,14 @@ object Multimodal {
 
   /** RIFF chunk walk → the `movi` frame payloads (fourccs ending in
     * `dc`/`db`, one level of `rec ` grouping supported); None when the
-    * bytes are not a RIFF/AVI container. */
-  def demuxAvi(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    * bytes are not a RIFF/AVI container OR the container is corrupt
+    * (bad chunk size) — a malformed row must degrade per-row to the
+    * hash stub / zero frames, never fail the task. */
+  def demuxAvi(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+    try demuxAvi0(bytes)
+    catch { case _: java.io.IOException => None }
+
+  private def demuxAvi0(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
     def cc(off: Int) = new String(bytes, off, 4, "US-ASCII")
     def sz(off: Int) = java.nio.ByteBuffer.wrap(bytes, off, 4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt

@@ -307,9 +307,9 @@ object Similarity {
 
   /** IVF-PQ — the third ANN family and the billion-scale memory shape:
     * coarse IVF routing exactly as [[ivfTop1]], but the inverted lists
-    * store PRODUCT-QUANTIZED codes (m sub-centroid indices — 8 longs
-    * here vs the 64-long vector, and m BYTES in a packed production
-    * layout) and candidates are scored by ASYMMETRIC DISTANCE: each
+    * store PRODUCT-QUANTIZED codes PACKED as m BYTES (BINARY column —
+    * m+8 bytes/row vs the 64-long vector; EmbedExpressionsSpec pins
+    * the size) and candidates are scored by ASYMMETRIC DISTANCE: each
     * probe row ships one m×k distance table (pq_dtable kernel) and a
     * candidate costs m array lookups (pq_adc) — no vector ever crosses
     * the inverted-list join. All integer-exact, so the full pipeline —
@@ -331,9 +331,13 @@ object Similarity {
         posexplode(topSids(nProbe)))
       .select(col("vec_id"), col("q"),
         (col("pos") + 1).as("rn"), col("col").as("sid"))
+    // inverted list carries PACKED codes: m BYTES per row (BINARY), not
+    // m longs — at 10^9 vectors this is what lets the lists fit
+    // executor memory; only the bounded trainer sample ever sees the
+    // ARRAY form (pqTrain needs the per-subspace explode)
     val assign = withTop.filter(col("rn") === 1)
       .select(col("sid"), col("vec_id").as("b_id"),
-        EmbedFunctions.pq_encode(col("q"), pq, m, kEff, dsub).as("codes"))
+        EmbedFunctions.pq_encode_packed(col("q"), pq, m, kEff, dsub).as("codes"))
     val probe = withTop
       .select(col("sid"), col("vec_id").as("a_id"),
         EmbedFunctions.pq_dtable(col("q"), pq, m, kEff, dsub).as("dt"))
@@ -341,7 +345,7 @@ object Similarity {
       .join(graft.util.Joins.boundedBroadcast(assign, n, broadcastMaxRows),
         Seq("sid"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("ad2", EmbedFunctions.pq_adc(col("dt"), col("codes"), kEff))
+      .withColumn("ad2", EmbedFunctions.pq_adc_packed(col("dt"), col("codes"), kEff))
     scored.groupBy(col("a_id"))
       .agg(min(struct(col("ad2"), col("b_id"))).as("mn"))
       .select(col("a_id").as("vec_id"), col("mn.b_id").as("ann_id"))

@@ -45,6 +45,19 @@ object TextOps {
 
   private def sph(c: Column): Column = TextFunctions.str_poly_hash(c)
 
+  /** THE stopword-count language-ID classifier — one definition for
+    * all four sites (Spark q_lang_id / q_corpus_filter and both
+    * oracles), so a tweak cannot desynchronize gate and oracle.
+    * `lenFn` is the engine's string-length function ("length" Spark,
+    * "len" DuckDB); the rest is engine-common SQL. */
+  private def langIdCase(lenFn: String): String = {
+    def cnt(pat: String) =
+      s"CAST(($lenFn(lower(text)) - $lenFn(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
+    s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
+      s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
+      s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END"
+  }
+
   /** Spark-side word-3-gram shingle hash set (codegen kernel — same
     * values as array_distinct(transform(split(lower(text)),...)) with
     * the shared polynomial hash, but one fused loop per row). */
@@ -167,24 +180,12 @@ object TextOps {
     // language-ID heuristic: scaled stopword scores, deterministic CASE
     QueryDef(
       "q_lang_id",
-      (s, d) => {
-        def cnt(pat: String) =
-          s"CAST((length(lower(text)) - length(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
-        corpus(s, d).select(col("doc_id"),
-          expr(s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
-            s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
-            s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END").as("lang_pred"))
-          .orderBy("doc_id")
-      },
-      Some {
-        def cnt(pat: String) =
-          s"CAST((len(lower(text)) - len(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
-        s"""SELECT doc_id,
-           |  CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en'
-           |       WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr'
-           |       WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END AS lang_pred
-           |FROM ($corpusSql) ORDER BY doc_id""".stripMargin
-      }),
+      (s, d) => corpus(s, d)
+        .select(col("doc_id"), expr(langIdCase("length")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ${langIdCase("len")} AS lang_pred
+              |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
 
     // quality scoring: integer-scaled length / stopword ratios
     QueryDef(
@@ -209,15 +210,10 @@ object TextOps {
     QueryDef(
       "q_corpus_filter",
       (s, d) => {
-        def cnt(pat: String) =
-          s"CAST((length(lower(text)) - length(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
         corpus(s, d)
           .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
           .filter(length(col("text")) >= 100)
-          .withColumn("lang_pred",
-            expr(s"CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en' " +
-              s"WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr' " +
-              s"WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END"))
+          .withColumn("lang_pred", expr(langIdCase("length")))
           // length-quartile buckets keep the report multi-row on a
           // monolingual corpus — a richer exact check than one total
           .withColumn("len_bucket", expr("length(text) DIV 200"))
@@ -227,15 +223,11 @@ object TextOps {
           .orderBy("lang_pred", "len_bucket")
       },
       Some {
-        def cnt(pat: String) =
-          s"CAST((len(lower(text)) - len(replace(lower(text), '$pat', ''))) / ${pat.length} AS BIGINT)"
         s"""WITH k AS (SELECT text, min(doc_id) AS doc_id
            |  FROM ($corpusSql) GROUP BY text),
            |f AS (SELECT doc_id, text FROM k WHERE len(text) >= 100),
            |l AS (SELECT doc_id,
-           |  CASE WHEN ${cnt(" the ")} >= ${cnt(" le ")} AND ${cnt(" the ")} >= ${cnt(" el ")} AND ${cnt(" the ")} >= ${cnt(" der ")} THEN 'en'
-           |       WHEN ${cnt(" le ")} >= ${cnt(" el ")} AND ${cnt(" le ")} >= ${cnt(" der ")} THEN 'fr'
-           |       WHEN ${cnt(" el ")} >= ${cnt(" der ")} THEN 'es' ELSE 'de' END AS lang_pred
+           |  ${langIdCase("len")} AS lang_pred
            |  , len(text) // 200 AS len_bucket
            |  FROM f)
            |SELECT lang_pred, len_bucket, count(*) AS n_kept,

@@ -4,8 +4,12 @@ import java.nio.file.{Files, Path}
 
 /** Driver-local staging area for gate FIXTURES (synthetic .osc files,
   * streaming micro-batch inputs): one temp root per JVM, removed by a
-  * shutdown hook; subdirectories are keyed on a full content hash of
-  * the dataset path, so distinct datasets never collide. Reading these
+  * shutdown hook; subdirectories are keyed on a truncated SHA-256 of
+  * the dataset PATH STRING (not its contents — staged fixtures are
+  * pure functions of the path, so within-JVM reuse via `_STAGED`
+  * markers is sound; a dataset mutating in place under the same path
+  * would need a content fingerprint in the key), so distinct dataset
+  * paths never collide. Reading these
   * driver-local paths through distributed sources assumes executors
   * share the driver's filesystem — true in local mode, the only mode
   * the gates run in; production inputs arrive on shared storage. */

@@ -143,6 +143,48 @@ class EmbedExpressionsSpec extends AnyFunSuite {
     assert(!tied.contains(2L), "equidistant sub-centroids must pick the smaller index")
   }
 
+  test("packed PQ codes: BINARY of exactly m bytes, identical indices and ADC") {
+    val m = 8; val k = 16; val dsub = 4
+    val cents = Array.tabulate(m * k * dsub) { f =>
+      val s = f / (k * dsub); val c = (f / dsub) % k
+      (s * 7 + c * 5 - 11).toLong
+    }
+    def run(): Seq[(Seq[Long], Array[Byte], Long, Long)] = vecs.map(_._1)
+      .map(_.take(m * dsub)).toDF("q")
+      .select(EmbedFunctions.pq_encode($"q", cents, m, k, dsub).as("codes"),
+        EmbedFunctions.pq_encode_packed($"q", cents, m, k, dsub).as("packed"),
+        EmbedFunctions.pq_adc(
+          EmbedFunctions.pq_dtable($"q", cents, m, k, dsub),
+          EmbedFunctions.pq_encode($"q", cents, m, k, dsub), k).as("ad2"),
+        EmbedFunctions.pq_adc_packed(
+          EmbedFunctions.pq_dtable($"q", cents, m, k, dsub),
+          EmbedFunctions.pq_encode_packed($"q", cents, m, k, dsub), k).as("pad2"))
+      .collect()
+      .map(r => (r.getSeq[Long](0).toSeq, r.getAs[Array[Byte]](1),
+        r.getLong(2), r.getLong(3))).toSeq
+    def checkAll(rows: Seq[(Seq[Long], Array[Byte], Long, Long)]): Unit =
+      for ((codes, packed, ad2, pad2) <- rows) {
+        assert(packed.length == m, "code column must be exactly m bytes")
+        assert(packed.map(b => (b & 0xff).toLong).toSeq == codes,
+          "packed indices must equal the ARRAY encode")
+        assert(pad2 == ad2, "packed ADC must equal array ADC")
+      }
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = run()
+      checkAll(interp)
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val fused = run()
+      checkAll(fused)
+      assert(interp.map(t => (t._1, t._2.toSeq, t._3, t._4)) ==
+        fused.map(t => (t._1, t._2.toSeq, t._3, t._4)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+    }
+  }
+
   test("dimension mismatch fails loudly") {
     val df = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
     intercept[Exception] {

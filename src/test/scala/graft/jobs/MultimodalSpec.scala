@@ -211,6 +211,15 @@ class MultimodalSpec extends AnyFunSuite {
     // non-AVI bytes: None, not a throw
     assert(Multimodal.demuxAvi("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Multimodal.demuxAvi("not avi".getBytes).isEmpty)
+    // recognized-but-CORRUPT AVI (chunk size past the buffer): None,
+    // not a throw — one malformed row must never fail a whole task
+    val dcSizeHi = avi.indexOfSlice("movi".getBytes) + 4 + 4 + 3 // 00dc size MSB
+    val corrupt = avi.clone()
+    corrupt(dcSizeHi) = 0x7f.toByte // size far past the buffer
+    assert(Multimodal.demuxAvi(corrupt).isEmpty)
+    val negSize = avi.clone()
+    negSize(dcSizeHi) = 0xff.toByte // negative size
+    assert(Multimodal.demuxAvi(negSize).isEmpty)
   }
 
   test("synthetic media video rows carry genuine MJPEG-AVIs matching their meta") {
