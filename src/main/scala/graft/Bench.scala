@@ -229,7 +229,7 @@ object Bench {
     for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
         "q_embed_ann_ivf_recall", "q_embed_ann_ivfpq_recall", "q_page_knn",
         "q_multimodal", "q_stream_dedup", "q_stream_dedup_ttl",
-        "q_admin_incremental", "q_knn_centres", "q_osc_upsert",
+        "q_admin_incremental", "q_extract", "q_knn_centres", "q_osc_upsert",
         "q_vectorize"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }

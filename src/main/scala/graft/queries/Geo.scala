@@ -344,6 +344,24 @@ object Geo {
       },
       Some(GeoGolden.adminIncrementalSql)),
 
+    // Regional extract (reference roadmap v0.3) pinned in the driver
+    // gate: extract the Alofi polygon region from the fixture and
+    // digest the referentially-complete element set per kind — count +
+    // xor-folded xxhash64 over (kind, id, version). A change in the
+    // seed PIP, way completion closure, relation clip, or parent sweep
+    // changes a row; ExtractSpec pins the row-level semantics.
+    QueryDef(
+      "q_extract",
+      (s, _) => {
+        val ex = graft.jobs.Extract.byRelation(s, PbfRead.read(s, fixture), 1558549L)
+        ex.toDF()
+          .groupBy(col("kind").cast("int").as("kind"))
+          .agg(count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(CAST(kind AS INT), id, version))").as("h"))
+          .orderBy("kind")
+      },
+      Some(GeoGolden.extractSql)),
+
     // J5-J7 end-to-end. The gated outputs are order-invariant DIGESTS
     // (per-group counts + xor-folded xxhash64 of every row) frozen as
     // VALUES goldens — the same scheme that froze the 14-relation admin

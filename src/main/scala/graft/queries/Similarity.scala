@@ -317,7 +317,49 @@ object Similarity {
     * bit-for-bit in the DuckDB oracle. Output: (vec_id, ann_id). */
   def ivfPqTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
       lloydIters: Int = 2, sampleTarget: Int = 100, m: Int = 8, k: Int = 16,
-      broadcastMaxRows: Long = 1000000L): DataFrame = {
+      broadcastMaxRows: Long = 1000000L): DataFrame =
+    ivfPqScored(corpus, kSeeds, nProbe, lloydIters, sampleTarget, m, k,
+      broadcastMaxRows)
+      .groupBy(col("a_id"))
+      .agg(min(struct(col("ad2"), col("b_id"))).as("mn"))
+      .select(col("a_id").as("vec_id"), col("mn.b_id").as("ann_id"))
+
+  /** IVF-PQ + EXACT RE-RANK — the production ANN serving shape: ADC
+    * ranks the whole inverted list cheaply, a per-query window keeps
+    * the `shortlist` best candidates, and only those R rows gather
+    * their exact vectors (two id equi-joins against the corpus) for an
+    * exact integer-L2 re-score; output = exact-L2 argmin over the
+    * shortlist. At 10^9 vectors the full vector column is touched R
+    * times per query instead of |list| times, and the ADC
+    * approximation error cannot pick the final answer — only narrow
+    * the field. Integer-exact end to end, reproduced in SQL
+    * (`q_embed_ann_ivfpq_rerank`). */
+  def ivfPqRerankTop1(corpus: DataFrame, kSeeds: Int = 256, nProbe: Int = 2,
+      lloydIters: Int = 2, sampleTarget: Int = 100, m: Int = 8, k: Int = 16,
+      shortlist: Int = 8, broadcastMaxRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = ivfPqScored(corpus, kSeeds, nProbe, lloydIters, sampleTarget,
+      m, k, broadcastMaxRows)
+    val short = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("ad2"), col("b_id"))))
+      .filter(col("rk") <= shortlist)
+      .select("a_id", "b_id")
+    val vecs = corpus.select(col("vec_id"), col("q"))
+    short
+      .join(vecs.select(col("vec_id").as("a_id"), col("q").as("qa")), Seq("a_id"))
+      .join(vecs.select(col("vec_id").as("b_id"), col("q").as("qb")), Seq("b_id"))
+      .withColumn("d2", EmbedFunctions.vec_l2q(col("qa"), col("qb")))
+      .groupBy(col("a_id"))
+      .agg(min(struct(col("d2"), col("b_id"))).as("mn"))
+      .select(col("a_id").as("vec_id"), col("mn.b_id").as("ann_id"))
+  }
+
+  /** Shared IVF-PQ candidate scoring: (a_id, b_id, ad2) for every
+    * probed inverted-list candidate pair. */
+  private def ivfPqScored(corpus: DataFrame, kSeeds: Int, nProbe: Int,
+      lloydIters: Int, sampleTarget: Int, m: Int, k: Int,
+      broadcastMaxRows: Long): DataFrame = {
     val n = corpus.count()
     val coarse = coarseCentroids(corpus, n, kSeeds, lloydIters, sampleTarget)
     val dim = coarse.head._2.length
@@ -346,9 +388,7 @@ object Similarity {
         Seq("sid"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("ad2", EmbedFunctions.pq_adc_packed(col("dt"), col("codes"), kEff))
-    scored.groupBy(col("a_id"))
-      .agg(min(struct(col("ad2"), col("b_id"))).as("mn"))
-      .select(col("a_id").as("vec_id"), col("mn.b_id").as("ann_id"))
+    scored.select("a_id", "b_id", "ad2")
   }
 
   /** Exact-L2 brute-force top-1 (the comparator for the IVF-PQ recall
@@ -694,6 +734,36 @@ object Similarity {
       },
       Some(s"""WITH ${ivfPqSqlCtes("")}
              |SELECT a_id AS vec_id, b_id AS ann_id FROM ann
+             |ORDER BY vec_id""".stripMargin)),
+
+    // IVF-PQ + exact re-rank (the production serving shape): ADC keeps
+    // the 8 best candidates per query, only those gather their exact
+    // vectors for an exact-L2 re-score. Same CTEs as the plain IVF-PQ
+    // gate, plus shortlist window + gather + re-rank reproduced in SQL
+    // — candidate set, shortlist, exact distances and the final argmin
+    // are all value-checked.
+    QueryDef(
+      "q_embed_ann_ivfpq_rerank",
+      (s, d) => {
+        val base = baseQ(s, d, sliced = false)
+        val corpus = corpusQ(base.union(twins(base))).localCheckpoint()
+        ivfPqRerankTop1(corpus).orderBy("vec_id")
+      },
+      Some(s"""WITH ${ivfPqSqlCtes("")},
+             |short AS (SELECT a_id, b_id FROM (
+             |  SELECT a_id, b_id, row_number() OVER (
+             |    PARTITION BY a_id ORDER BY ad2, b_id) AS rk
+             |  FROM adc) WHERE rk <= 8),
+             |rr AS (SELECT s.a_id, s.b_id,
+             |    list_sum(list_transform(range(1, len(qa.q)+1),
+             |      i -> CAST((qa.q[i]-qb.q[i])*(qa.q[i]-qb.q[i]) AS BIGINT))) AS d2
+             |  FROM short s
+             |    JOIN cc qa ON qa.vec_id = s.a_id
+             |    JOIN cc qb ON qb.vec_id = s.b_id)
+             |SELECT a_id AS vec_id, b_id AS ann_id FROM (
+             |  SELECT a_id, b_id, row_number() OVER (
+             |    PARTITION BY a_id ORDER BY d2, b_id) AS rk
+             |  FROM rr) WHERE rk = 1
              |ORDER BY vec_id""".stripMargin)),
 
     // recall@1 of the IVF-PQ path vs exact-L2 brute force on the

@@ -39,6 +39,8 @@ object GoldenGen {
     println(values("q_multimodal", Seq("kind" -> "VARCHAR", "n" -> "BIGINT", "h" -> "BIGINT")))
     println("=== adminArea2Sql ===")
     println(values("q_admin_area2", Seq("relation_id" -> "BIGINT", "admin_level" -> "INTEGER", "area2" -> "VARCHAR")))
+    println("=== extractSql ===")
+    println(values("q_extract", Seq("kind" -> "INTEGER", "n" -> "BIGINT", "h" -> "BIGINT")))
     println("=== adminIncrementalSql ===")
     println(values("q_admin_incremental", Seq("relation_id" -> "BIGINT", "admin_level" -> "INTEGER", "name" -> "VARCHAR", "n_rings" -> "INTEGER", "complete" -> "INTEGER", "area2" -> "VARCHAR")))
     println("=== geoparseSql ===")

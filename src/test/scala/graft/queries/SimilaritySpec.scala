@@ -111,6 +111,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"IVF-PQ recall@1 $milli‰ below the 850‰ floor ($nHit/$nEval)")
   }
 
+  test("IVF-PQ exact re-rank never loses to the plain ADC pick (exact L2)") {
+    def l2(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val plain = SparkEntry.queries("q_embed_ann_ivfpq")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rer = SparkEntry.queries("q_embed_ann_ivfpq_rerank")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rer.keySet == plain.keySet,
+      "re-rank must answer exactly the queries the plain path answers")
+    // re-ranking an ADC shortlist that contains the ADC argmin can only
+    // improve (or tie) the EXACT distance of the returned neighbour
+    var improved = 0
+    for ((id, p) <- plain) {
+      val dPlain = l2(corpus(id), corpus(p))
+      val dRer = l2(corpus(id), corpus(rer(id)))
+      assert(dRer <= dPlain, s"vec $id: re-rank $dRer worse than ADC $dPlain")
+      if (dRer < dPlain) improved += 1
+    }
+    info(s"re-rank strictly improved ${improved}/${plain.size} answers")
+    // and the twin is still found at least as often
+    val baseIds = qvecs.keySet
+    val twinRecall = baseIds.count(id => rer.get(id).contains(id + 1000000L))
+      .toDouble / baseIds.size
+    info(f"IVF-PQ+rerank twin recall@1 = $twinRecall%.3f")
+    assert(twinRecall >= 0.90)
+  }
+
   test("embedding near-dup pairs recover the planted twins; every pair verifies exactly") {
     val got = SparkEntry.queries("q_embed_dedup")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
