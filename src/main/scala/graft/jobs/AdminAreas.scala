@@ -437,7 +437,12 @@ object AdminAreas {
       prevAreas: Dataset[AdminArea], diffs: Dataset[OsmEntity],
       localMaxSegs: Int = DefaultLocalMaxSegs): IncrementalResult = {
     import spark.implicits._
+    // the merged snapshot is consumed by ~6 downstream scans (touch
+    // probes over both snapshots, the restricted rebuild, and whatever
+    // the caller does next) — materialize it once; at planet scale this
+    // is the snapshot stage a real pipeline persists anyway
     val next = graft.streaming.Replication.applyDiffs(spark, prevSnapshot, diffs)
+      .localCheckpoint()
     val touched = touchedRelations(spark, prevSnapshot, next, diffs)
       .localCheckpoint()
     // rebuilt: touched relations still admin+visible in the NEW

@@ -64,6 +64,16 @@ object Extract {
     val area = AdminAreas.build(spark, osm, onlyRelations = Some(only))
     require(!area.isEmpty,
       s"relation $relationId is not an assemblable admin boundary in this snapshot")
+    byArea(spark, osm, area, p)
+  }
+
+  /** Extract by a PRE-BUILT admin area set (e.g. the persisted output
+    * of the `admin` stage) — a production pipeline reuses the assembled
+    * polygons instead of re-stitching per extract; [[byRelation]] is
+    * the self-contained form. */
+  def byArea(spark: SparkSession, osm: Dataset[OsmEntity],
+      area: Dataset[AdminAreas.AdminArea],
+      p: SpatialJoin.Params = SpatialJoin.Params(coverMaxLevel = 14)): Dataset[OsmEntity] = {
     val prep = SpatialJoin.prepare(spark, area, p)
     val nodes = latestVisible(osm, OsmKind.Node)
       .select(col("id").as("node_id"), col("lat7"), col("lon7"))

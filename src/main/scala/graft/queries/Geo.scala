@@ -333,9 +333,14 @@ object Geo {
       "q_admin_incremental",
       (s, _) => {
         import s.implicits._
-        val snap = PbfRead.read(s, fixture)
-        val r = AdminAreas.incrementalUpdate(
-          s, snap, areas(s), incrementalDiffs(s, snap))
+        // the diff-apply + restricted rebuild executes eagerly in here
+        // (checkpointed frames) over a 45k-row fixture — scope the
+        // shuffle sizing down to match
+        val r = graft.util.Scoped.shufflePartitions(s, 8) {
+          val snap = OsmQueries.osmFixture(s)
+          AdminAreas.incrementalUpdate(
+            s, snap, areas(s), incrementalDiffs(s, snap))
+        }
         r.areas.map(a => (a.relationId, a.adminLevel, a.name, a.rings.size,
             if (a.complete) 1 else 0, ringsArea2Str(a.rings)))
           .toDF("relation_id", "admin_level", "name", "n_rings",
@@ -353,7 +358,17 @@ object Geo {
     QueryDef(
       "q_extract",
       (s, _) => {
-        val ex = graft.jobs.Extract.byRelation(s, PbfRead.read(s, fixture), 1558549L)
+        // the closure executes eagerly in here (checkpointed id frames)
+        // over a 45k-row fixture — scope the shuffle sizing to match;
+        // the polygon comes from the session's assembled admin set
+        // (Extract.byArea — the persisted-admin-stage reuse path; the
+        // self-contained byRelation form is ExtractSpec/CLI-covered)
+        val ex = graft.util.Scoped.shufflePartitions(s, 8) {
+          import s.implicits._
+          graft.jobs.Extract.byArea(s, OsmQueries.osmFixture(s),
+              areas(s).filter(_.relationId == 1558549L))
+            .localCheckpoint()
+        }
         ex.toDF()
           .groupBy(col("kind").cast("int").as("kind"))
           .agg(count(lit(1)).as("n"),

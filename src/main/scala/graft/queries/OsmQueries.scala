@@ -20,7 +20,7 @@ object OsmQueries {
   private lazy val fixtureCached =
     new graft.util.SessionCache[org.apache.spark.sql.Dataset[graft.model.OsmEntity]]
 
-  private def osmFixture(s: org.apache.spark.sql.SparkSession) =
+  private[queries] def osmFixture(s: org.apache.spark.sql.SparkSession) =
     fixtureCached.get(s)(PbfRead.read(s, fixture).localCheckpoint())
 
   val defs: Seq[QueryDef] = Seq(
