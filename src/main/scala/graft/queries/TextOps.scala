@@ -237,6 +237,78 @@ object TextOps {
            |ORDER BY lang_pred, len_bucket""".stripMargin
       }),
 
+    // stratified (per-language) sampling — the data-MIXING op of a
+    // training pipeline: each language keeps a different per-mille rate
+    // via a deterministic hash of doc_id (engine-common LCG multiply,
+    // not xxhash — DuckDB has no xxhash64), so the sampled set is
+    // reproducible at any parallelism and exactly mirrored in SQL.
+    // Report: per-language kept counts + id-sum/min/max (order-
+    // invariant exact check), plus the configured rate.
+    QueryDef(
+      "q_stratified_sample",
+      (s, d) => corpus(s, d)
+        .withColumn("lang_pred", expr(langIdCase("length")))
+        .withColumn("rate",
+          expr("CASE lang_pred WHEN 'en' THEN 100 WHEN 'fr' THEN 500 " +
+            "WHEN 'es' THEN 500 ELSE 1000 END"))
+        .filter(pmod(col("doc_id") * 2654435761L, lit(1000L)) < col("rate"))
+        .groupBy("lang_pred", "rate")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang_pred"),
+      Some(s"""WITH l AS (SELECT doc_id,
+             |  ${langIdCase("len")} AS lang_pred
+             |  FROM ($corpusSql)),
+             |r AS (SELECT doc_id, lang_pred,
+             |  CASE lang_pred WHEN 'en' THEN 100 WHEN 'fr' THEN 500
+             |    WHEN 'es' THEN 500 ELSE 1000 END AS rate
+             |  FROM l)
+             |SELECT lang_pred, rate, count(*) AS n_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM r WHERE (doc_id * 2654435761) % 1000 < rate
+             |GROUP BY lang_pred, rate ORDER BY lang_pred""".stripMargin)),
+
+    // sequence PACKING — the token-budget batching op before training:
+    // documents pack greedily in doc_id order into bins of ≤2048
+    // estimated BPE tokens, PER SHARD (shard = doc_id % 32) so the
+    // running-sum window parallelizes — a single global ordering window
+    // would serialize 10^12 rows through one partition; per-shard
+    // packing is the standard scale shape (shards ≈ data-loader
+    // workers). bin = exclusive-prefix-sum(tokens) div budget, exact in
+    // both engines. Report: per (shard, bin) doc count + token fill for
+    // the first 4 shards (bounded output at any SF).
+    QueryDef(
+      "q_pack_sequences",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        corpus(s, d)
+          .select(col("doc_id"),
+            expr("(length(text) + 3) DIV 4").as("toks"),
+            pmod(col("doc_id"), lit(32L)).as("shard"))
+          .filter(col("shard") < 4)
+          .withColumn("csum", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .withColumn("bin", expr("csum DIV 2048"))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("fill_toks"),
+            min(col("doc_id")).as("first_id"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, (len(text) + 3) // 4 AS toks,
+             |    doc_id % 32 AS shard
+             |  FROM ($corpusSql) WHERE doc_id % 32 < 4),
+             |b AS (SELECT shard, doc_id, toks,
+             |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      // 2048 AS bin
+             |  FROM t)
+             |SELECT shard, bin, count(*) AS n_docs,
+             |  CAST(sum(toks) AS BIGINT) AS fill_toks,
+             |  min(doc_id) AS first_id
+             |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
+
     // exact dedup: hash-groupBy on text
     QueryDef(
       "q_dedup_exact",
