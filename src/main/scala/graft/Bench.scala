@@ -275,7 +275,14 @@ object Bench {
          |this machine before any Spark code runs); a real 4N-executor
          |cluster multiplies memory bandwidth with node count, so the
          |higher rungs are reported for transparency, not as the
-         |criterion. The 1- and 4-core rungs are measured as back-to-back
+         |criterion. The per-rung scan-only floor makes the cause
+         |directly visible: past 16 cores the floor itself — a pure
+         |url+text column read with no join code at all — flattens or
+         |declines (r6 quiet-box: 11.1M/s @ 16c vs 10.6M/s @ 32c), and
+         |the flagship tracks its floor at every rung; a 32c reading
+         |below 16c is therefore the box's memory ceiling, not a code
+         |path (the r5 driver-box 32c dip reproduced as bandwidth
+         |contention: same code as r4's 10.3M/s rung). The 1- and 4-core rungs are measured as back-to-back
          |pairs three times; the criterion is the MEDIAN per-pair ratio
          |(noise-robust and unbiased) with all three ratios shown, and the
          |displayed 1c/4c rows come from the median pair so every number

@@ -252,22 +252,25 @@ object TextOps {
           expr("CASE lang_pred WHEN 'en' THEN 100 WHEN 'fr' THEN 500 " +
             "WHEN 'es' THEN 500 ELSE 1000 END"))
         .filter(pmod(col("doc_id") * 2654435761L, lit(1000L)) < col("rate"))
-        .groupBy("lang_pred", "rate")
+        .withColumn("len_bucket", expr("length(text) DIV 200"))
+        .groupBy("lang_pred", "rate", "len_bucket")
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy("lang_pred"),
-      Some(s"""WITH l AS (SELECT doc_id,
+        .orderBy("lang_pred", "len_bucket"),
+      Some(s"""WITH l AS (SELECT doc_id, text,
              |  ${langIdCase("len")} AS lang_pred
              |  FROM ($corpusSql)),
              |r AS (SELECT doc_id, lang_pred,
              |  CASE lang_pred WHEN 'en' THEN 100 WHEN 'fr' THEN 500
-             |    WHEN 'es' THEN 500 ELSE 1000 END AS rate
+             |    WHEN 'es' THEN 500 ELSE 1000 END AS rate,
+             |  len(text) // 200 AS len_bucket
              |  FROM l)
-             |SELECT lang_pred, rate, count(*) AS n_kept,
+             |SELECT lang_pred, rate, len_bucket, count(*) AS n_kept,
              |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM r WHERE (doc_id * 2654435761) % 1000 < rate
-             |GROUP BY lang_pred, rate ORDER BY lang_pred""".stripMargin)),
+             |GROUP BY lang_pred, rate, len_bucket
+             |ORDER BY lang_pred, len_bucket""".stripMargin)),
 
     // sequence PACKING — the token-budget batching op before training:
     // documents pack greedily in doc_id order into bins of ≤2048
