@@ -42,8 +42,10 @@ object AdminAreas {
   final case class CoverRowEx(relationId: Long, cell: Long, full: Boolean,
       cornerInside: Boolean, fallback: Boolean, edges: Seq[Long])
 
-  /** Latest visible version of each element id of one kind. */
-  private def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
+  /** Latest visible version of each element id of one kind (shared
+    * with [[Extract]] — one definition of the snapshot-resolution
+    * rule). */
+  private[jobs] def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("version").desc)
     osm.filter(col("kind") === kind)
       .withColumn("_rn", row_number().over(w))

@@ -1,7 +1,6 @@
 package graft.jobs
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{OsmEntity, OsmKind}
@@ -31,26 +30,23 @@ import graft.model.{OsmEntity, OsmKind}
   */
 object Extract {
 
-  /** Latest visible version of each element of one kind (same contract
-    * as the assembler's private helper). */
+  /** Latest visible version of each element of one kind — delegates to
+    * the assembler's shared helper (one definition of the
+    * snapshot-resolution rule). */
   private def latestVisible(osm: Dataset[OsmEntity], kind: Byte): Dataset[OsmEntity] = {
     import osm.sparkSession.implicits._
-    val w = Window.partitionBy("id").orderBy(col("version").desc)
-    osm.filter(col("kind") === kind)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("visible"))
-      .drop("_rn")
-      .as[OsmEntity]
+    AdminAreas.latestVisible(osm, kind).as[OsmEntity]
   }
 
   /** Extract by bounding box, coordinates in 1e-7° (inclusive). */
   def bbox(spark: SparkSession, osm: Dataset[OsmEntity],
       left: Long, bottom: Long, right: Long, top: Long): Dataset[OsmEntity] = {
-    val seeds = latestVisible(osm, OsmKind.Node)
+    val nodesLV = latestVisible(osm, OsmKind.Node)
+    val seeds = nodesLV.toDF()
       .filter(col("lon7") >= left && col("lon7") <= right &&
         col("lat7") >= bottom && col("lat7") <= top)
       .select(col("id").as("node_id"))
-    complete(spark, osm, seeds)
+    complete(spark, osm, nodesLV, seeds)
   }
 
   /** Extract by admin relation id: the region is that relation's
@@ -74,19 +70,20 @@ object Extract {
   def byArea(spark: SparkSession, osm: Dataset[OsmEntity],
       area: Dataset[AdminAreas.AdminArea],
       p: SpatialJoin.Params = SpatialJoin.Params(coverMaxLevel = 14)): Dataset[OsmEntity] = {
-    val prep = SpatialJoin.prepare(spark, area, p)
-    val nodes = latestVisible(osm, OsmKind.Node)
+    val nodesLV = latestVisible(osm, OsmKind.Node)
+    val nodes = nodesLV.toDF()
       .select(col("id").as("node_id"), col("lat7"), col("lon7"))
+    val pr = SpatialJoin.prepare(spark, area, p)
     val seeds = SpatialJoin
-      .containmentJoin(spark, nodes, prep.cover, prep.polygons, p)
+      .containmentJoin(spark, nodes, pr.cover, pr.polygons, p)
       .select("node_id")
-    complete(spark, osm, seeds)
+    complete(spark, osm, nodesLV, seeds)
   }
 
   /** The referential-completeness closure + relation clip over a seed
     * node-id frame. */
   private def complete(spark: SparkSession, osm: Dataset[OsmEntity],
-      seedNodeIds: DataFrame): Dataset[OsmEntity] = {
+      nodesLV: Dataset[OsmEntity], seedNodeIds: DataFrame): Dataset[OsmEntity] = {
     import spark.implicits._
     val seeds = seedNodeIds.toDF("node_id").distinct().localCheckpoint()
     val ways = latestVisible(osm, OsmKind.Way)
@@ -128,7 +125,10 @@ object Extract {
       .select(col("relation_id"), expr("transform(pm, x -> x.m)").as("members"))
     val entityCols = Seq("kind", "id", "version", "visible", "lat7", "lon7",
       "tsMillis", "changeset", "uid", "user", "tags", "refs", "members")
-    val outNodes = latestVisible(osm, OsmKind.Node)
+    // nodesLV is the SAME latest-visible frame the seed selection
+    // scanned — threading it through avoids a second full window pass
+    // over the largest table
+    val outNodes = nodesLV
       .join(keptNodes, col("id") === col("node_id"), "left_semi")
       .as[OsmEntity]
     val outWays = ways.join(keptWays, col("id") === col("way_id"), "left_semi")

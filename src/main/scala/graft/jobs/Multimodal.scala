@@ -343,7 +343,7 @@ object Multimodal {
     * hash stub / zero frames, never fail the task. */
   def demuxAvi(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
     try demuxAvi0(bytes)
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def demuxAvi0(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
     def cc(off: Int) = new String(bytes, off, 4, "US-ASCII")
@@ -355,7 +355,7 @@ object Multimodal {
       var off = start
       while (off + 8 <= end) {
         val c = cc(off); val n = sz(off + 4)
-        if (n < 0 || off + 8 + n > end)
+        if (n < 0 || off.toLong + 8 + n > end)
           throw new java.io.IOException(s"corrupt AVI chunk $c at $off")
         if (c == "LIST" && n >= 4 && cc(off + 8) == "rec ")
           walkFrames(off + 12, off + 8 + n)
@@ -369,7 +369,7 @@ object Multimodal {
     var sawMovi = false
     while (off + 8 <= end) {
       val c = cc(off); val n = sz(off + 4)
-      if (n < 0 || off + 8 + n > end)
+      if (n < 0 || off.toLong + 8 + n > end)
         throw new java.io.IOException(s"corrupt AVI chunk $c at $off")
       if (c == "LIST" && n >= 4 && cc(off + 8) == "movi") {
         sawMovi = true

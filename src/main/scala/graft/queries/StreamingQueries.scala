@@ -22,9 +22,11 @@ object StreamingQueries {
       for ((part, i) <- batches.zipWithIndex) {
         val tmp = dir.resolve(s"_tmp-$i").toString
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val f = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().get()
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        val f =
+          try listing.filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          finally listing.close()
         val dst = dir.resolve(f"b$i%02d.parquet")
         java.nio.file.Files.move(f, dst,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -54,12 +56,10 @@ object StreamingQueries {
       .parquet(dir.toString)
     val name = namePrefix + "_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = graft.util.Scoped.shufflePartitions(s, 4) {
       f(stream).writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(Trigger.AvailableNow()).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
     s.table(name)
   }

@@ -220,6 +220,14 @@ class MultimodalSpec extends AnyFunSuite {
     val negSize = avi.clone()
     negSize(dcSizeHi) = 0xff.toByte // negative size
     assert(Multimodal.demuxAvi(negSize).isEmpty)
+    // near-Int.MaxValue chunk size: off + 8 + n overflows Int if the
+    // bound check isn't done in Long — must degrade to None, not crash
+    val ovf = avi.clone()
+    ovf(dcSizeHi - 3) = 0xf0.toByte
+    ovf(dcSizeHi - 2) = 0xff.toByte
+    ovf(dcSizeHi - 1) = 0xff.toByte
+    ovf(dcSizeHi) = 0x7f.toByte // n = 0x7ffffff0
+    assert(Multimodal.demuxAvi(ovf).isEmpty)
   }
 
   test("synthetic media video rows carry genuine MJPEG-AVIs matching their meta") {
