@@ -312,6 +312,63 @@ object TextOps {
              |  min(doc_id) AS first_id
              |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
+    // intra-document REPETITION scoring (the Gopher/MassiveText-style
+    // quality filter): fraction of duplicate word-3-grams per document,
+    // scaled to exact integer per-mille. distinct count reuses the
+    // shingle_hashes codegen kernel (same polynomial hash both
+    // engines, so collisions — if any — are identical); total = the
+    // 3-gram count from the token count. Pure per-row map, no shuffle
+    // beyond the final sort.
+    QueryDef(
+      "q_repetition_filter",
+      (s, d) => corpus(s, d)
+        .select(col("doc_id"),
+          greatest(size(split(lower(col("text")), " ")) - 2, lit(0))
+            .cast("long").as("total_3g"),
+          size(shingleSet(col("text"))).cast("long").as("distinct_3g"))
+        .withColumn("dup_milli",
+          expr("(total_3g - distinct_3g) * 1000 DIV greatest(total_3g, 1)"))
+        .withColumn("too_repetitive", (col("dup_milli") > 100).cast("int"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+             |    string_split(lower(text), ' ') AS toks
+             |  FROM ($corpusSql))
+             |SELECT doc_id,
+             |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS total_3g,
+             |  CAST(len($shingleSetSql) AS BIGINT) AS distinct_3g,
+             |  (CAST(greatest(len(toks) - 2, 0) AS BIGINT)
+             |    - CAST(len($shingleSetSql) AS BIGINT)) * 1000
+             |    // greatest(CAST(greatest(len(toks) - 2, 0) AS BIGINT), 1)
+             |    AS dup_milli,
+             |  CAST((CAST(greatest(len(toks) - 2, 0) AS BIGINT)
+             |    - CAST(len($shingleSetSql) AS BIGINT)) * 1000
+             |    // greatest(CAST(greatest(len(toks) - 2, 0) AS BIGINT), 1)
+             |    > 100 AS INTEGER) AS too_repetitive
+             |FROM tk ORDER BY doc_id""".stripMargin)),
+
+    // per-SOURCE caps (the domain-cap op of a crawl pipeline: at most K
+    // documents per host/domain, deterministic keeper order): window
+    // rank by doc_id within source, keep rn ≤ 10. Partitioned by
+    // source, so the window parallelizes across domains at any scale —
+    // exactly the per-host-cap shape Common-Crawl dedup uses.
+    QueryDef(
+      "q_source_cap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select("doc_id", "source", "rn")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
     // exact dedup: hash-groupBy on text
     QueryDef(
       "q_dedup_exact",
