@@ -126,8 +126,11 @@ object Extract {
     val entityCols = Seq("kind", "id", "version", "visible", "lat7", "lon7",
       "tsMillis", "changeset", "uid", "user", "tags", "refs", "members")
     // nodesLV is the SAME latest-visible frame the seed selection
-    // scanned — threading it through avoids a second full window pass
-    // over the largest table
+    // used — ONE DEFINITION of the node snapshot rule (the window still
+    // executes in this output branch; materializing 10^10 node rows to
+    // avoid that recompute would cost more than the extra scan, and a
+    // production pipeline extracts from an already-persisted snapshot
+    // stage where latest-visible is the stored form)
     val outNodes = nodesLV
       .join(keptNodes, col("id") === col("node_id"), "left_semi")
       .as[OsmEntity]

@@ -332,19 +332,18 @@ object TextOps {
         .orderBy("doc_id"),
       Some(s"""WITH tk AS (SELECT doc_id,
              |    string_split(lower(text), ' ') AS toks
-             |  FROM ($corpusSql))
-             |SELECT doc_id,
-             |  CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS total_3g,
-             |  CAST(len($shingleSetSql) AS BIGINT) AS distinct_3g,
-             |  (CAST(greatest(len(toks) - 2, 0) AS BIGINT)
-             |    - CAST(len($shingleSetSql) AS BIGINT)) * 1000
-             |    // greatest(CAST(greatest(len(toks) - 2, 0) AS BIGINT), 1)
-             |    AS dup_milli,
-             |  CAST((CAST(greatest(len(toks) - 2, 0) AS BIGINT)
-             |    - CAST(len($shingleSetSql) AS BIGINT)) * 1000
-             |    // greatest(CAST(greatest(len(toks) - 2, 0) AS BIGINT), 1)
-             |    > 100 AS INTEGER) AS too_repetitive
-             |FROM tk ORDER BY doc_id""".stripMargin)),
+             |  FROM ($corpusSql)),
+             |sh AS (SELECT doc_id,
+             |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS total_3g,
+             |    CAST(len($shingleSetSql) AS BIGINT) AS distinct_3g
+             |  FROM tk),
+             |dm AS (SELECT doc_id, total_3g, distinct_3g,
+             |    (total_3g - distinct_3g) * 1000 // greatest(total_3g, 1)
+             |      AS dup_milli
+             |  FROM sh)
+             |SELECT doc_id, total_3g, distinct_3g, dup_milli,
+             |  CAST(dup_milli > 100 AS INTEGER) AS too_repetitive
+             |FROM dm ORDER BY doc_id""".stripMargin)),
 
     // per-SOURCE caps (the domain-cap op of a crawl pipeline: at most K
     // documents per host/domain, deterministic keeper order): window

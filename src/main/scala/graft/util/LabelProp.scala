@@ -24,11 +24,10 @@ object LabelProp {
     // near-empty reducers per round are pure task overhead on the small
     // graphs the callers pass; the returned frame is materialized
     // before the conf restores
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(p =>
-      spark.conf.set("spark.sql.shuffle.partitions", p.toString))
-    try componentsImpl(spark, edges, nodes, maxRounds, debugTag)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    shufflePartitions.fold(componentsImpl(spark, edges, nodes, maxRounds, debugTag)) {
+      p => Scoped.shufflePartitions(spark, p)(
+        componentsImpl(spark, edges, nodes, maxRounds, debugTag))
+    }
   }
 
   private def componentsImpl(spark: SparkSession, edges: DataFrame,
