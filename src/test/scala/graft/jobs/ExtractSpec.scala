@@ -62,6 +62,49 @@ class ExtractSpec extends AnyFunSuite {
     assert(ex.exists(_.kind == OsmKind.Relation), "coastal slice touches admin relations")
   }
 
+  test("synthetic world: parent sweep keeps super-relations, clip drops dead members, versions resolve") {
+    // the Niue fixture has no relation-member relations, so the parent
+    // sweep needs a constructed case: r2 contains kept relation r1 (and
+    // a dead node), r3 touches nothing
+    import graft.model.{OsmMember, OsmTag}
+    def node(id: Long, lat: Long, lon: Long, v: Int = 1, vis: Boolean = true) =
+      OsmEntity(OsmKind.Node, id, v, vis, Some(lat), Some(lon),
+        1000L + v, 1L, 1, "u", Nil, Nil, Nil)
+    def way(id: Long, refs: Seq[Long]) =
+      OsmEntity(OsmKind.Way, id, 1, visible = true, None, None,
+        1000L, 1L, 1, "u", Nil, refs, Nil)
+    def rel(id: Long, ms: Seq[OsmMember]) =
+      OsmEntity(OsmKind.Relation, id, 1, visible = true, None, None,
+        1000L, 1L, 1, "u", Seq(OsmTag("type", "collection")), Nil, ms)
+    val world = Seq(
+      node(1, 0, 0, v = 1),            // superseded version (old coords)
+      node(1, 10, 10, v = 2),          // latest visible, inside bbox
+      node(2, 5000, 5000),             // outside; pulled in via w1
+      node(3, 6000, 6000),             // outside; never pulled
+      node(4, 20, 20, v = 2, vis = false), // deleted inside bbox: excluded
+      way(10, Seq(1L, 2L)),            // touches seed -> kept complete
+      way(11, Seq(3L)),                // outside -> dropped
+      rel(20, Seq(OsmMember(OsmKind.Way, 10L, "outer"),
+        OsmMember(OsmKind.Way, 11L, "outer"))), // kept via w10; w11 clipped
+      rel(21, Seq(OsmMember(OsmKind.Relation, 20L, "sub"),
+        OsmMember(OsmKind.Node, 3L, "marker"))), // kept via PARENT SWEEP; n3 clipped
+      rel(22, Seq(OsmMember(OsmKind.Way, 11L, "outer")))) // untouched -> dropped
+    val ds = spark.createDataset(world)
+    val ex = Extract.bbox(spark, ds, left = -100L, bottom = -100L,
+      right = 100L, top = 100L).collect().toSeq
+    check(ex)
+    assert(ex.filter(_.kind == OsmKind.Node).map(_.id).sorted == Seq(1L, 2L))
+    val n1 = ex.find(e => e.kind == OsmKind.Node && e.id == 1L).get
+    assert(n1.version == 2 && n1.lat7.contains(10L), "latest visible version wins")
+    assert(ex.filter(_.kind == OsmKind.Way).map(_.id) == Seq(10L))
+    assert(ex.filter(_.kind == OsmKind.Relation).map(_.id).sorted == Seq(20L, 21L))
+    val r20 = ex.find(e => e.kind == OsmKind.Relation && e.id == 20L).get
+    assert(r20.members.map(_.ref) == Seq(10L), "dead way member clipped")
+    val r21 = ex.find(e => e.kind == OsmKind.Relation && e.id == 21L).get
+    assert(r21.members.map(m => (m.mtype, m.ref)) == Seq((OsmKind.Relation, 20L)),
+      "super-relation kept by the parent sweep with only its live member")
+  }
+
   test("relation extract (Alofi 1558549): polygon seeds, round trip, relation clip") {
     val ex = Extract.byRelation(spark, osm, 1558549L).cache()
     val rows = ex.collect().toSeq
