@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered operators, one QueryDef per SURVEY.md §2 row. */
   def all: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.Geo.defs ++
-    graft.queries.TextOps.defs ++ graft.queries.Similarity.defs ++
+    graft.queries.TextOps.defs ++ graft.queries.WebText.defs ++
+    graft.queries.Similarity.defs ++
     graft.queries.OsmQueries.defs ++ graft.queries.StreamingQueries.defs ++
     graft.queries.MultimodalQueries.defs ++ graft.queries.OscQueries.defs
 

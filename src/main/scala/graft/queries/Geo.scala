@@ -46,6 +46,40 @@ object Geo {
       |  (CAST(n_nationkey AS BIGINT) * 2971215073) % 3600000001 - 1800000000 AS c_lon7
       |FROM nation""".stripMargin
 
+  /** One-pass Visvalingam filter kernel (q_simplify + GeoSimplifySpec):
+    * keep endpoints and every interior vertex whose deviation triangle
+    * against its ORIGINAL neighbours has |2·area| ≥ eps. Input columns
+    * (line_id, seq, x, y); pure integer cross products over lag/lead
+    * windows — one shuffle on line_id. */
+  private[queries] def vwFilter(pts: DataFrame, eps: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("line_id").orderBy("seq")
+    pts
+      .withColumn("area2", abs(
+        (col("x") - lag("x", 1).over(w)) *
+          (lead("y", 1).over(w) - lag("y", 1).over(w)) -
+          (col("y") - lag("y", 1).over(w)) *
+          (lead("x", 1).over(w) - lag("x", 1).over(w))))
+      .filter(col("area2").isNull || col("area2") >= eps)
+      .select("line_id", "seq", "x", "y")
+  }
+
+  /** Sampled line→cell cover kernel (q_line_cover + GeoSimplifySpec):
+    * 2·(|dx|+|dy|)+1 integer-interpolated samples per segment (< ½ unit
+    * per step; cell = 4 units; +1000 offset keeps numerators positive
+    * so DIV floors identically on both engines), DISTINCT per segment.
+    * Input columns (event_id, x0, y0, x1, y1), coords in [-250·4,
+    * 250·4). */
+  private[queries] def lineCover(segs: DataFrame): DataFrame =
+    segs
+      .withColumn("n", lit(2L) * (abs(col("x1") - col("x0")) +
+        abs(col("y1") - col("y0"))) + 1L)
+      .withColumn("i", explode(expr("sequence(0, n)")))
+      .select(col("event_id"),
+        expr("((x0 + 1000) * n + (x1 - x0) * i) DIV (4 * n) - 250").as("cx"),
+        expr("((y0 + 1000) * n + (y1 - y0) * i) DIV (4 * n) - 250").as("cy"))
+      .distinct()
+
   private lazy val adminAreasCached =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[AdminAreas.AdminArea]]()
 
@@ -428,6 +462,80 @@ object Geo {
             expr("bit_xor(xxhash64(url, lat7, lon7))").as("h"),
             sum(col("lat7")).as("sum_lat7"), sum(col("lon7")).as("sum_lon7"))
       },
-      Some(GeoGolden.geoparseSql))
+      Some(GeoGolden.geoparseSql)),
+
+    // POLYLINE SIMPLIFICATION (one-pass Visvalingam filter): drop every
+    // interior vertex whose deviation triangle — formed with its
+    // ORIGINAL neighbours — has |2·area| below threshold. Endpoints
+    // always survive. Pure integer cross products over lag/lead
+    // windows: one shuffle on line_id, exact on both engines, and
+    // embarrassingly parallel at a planet's worth of way geometry
+    // (the iterative full-Visvalingam refinement runs this same kernel
+    // to a fixed point; the one-pass form is the bulk-reduction stage).
+    // Deterministic synthetic polylines from the nation table: 240
+    // vertices, x = 1000·i, pseudo-random y in ±1000.
+    QueryDef(
+      "q_simplify",
+      (s, d) => {
+        vwFilter(Tables.t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("line_id"))
+          .withColumn("seq", explode(expr("sequence(0, 239)")))
+          .select(col("line_id"), col("seq"),
+            (col("seq") * 1000L).as("x"),
+            (pmod(col("line_id") * 7919L + col("seq") * 104729L,
+              lit(2001L)) - 1000L).as("y")), eps = 900000L)
+          .orderBy("line_id", "seq")
+      },
+      Some("""WITH v AS (SELECT CAST(n_nationkey AS BIGINT) AS line_id,
+             |    seq, seq * 1000 AS x,
+             |    (CAST(n_nationkey AS BIGINT) * 7919 + seq * 104729)
+             |      % 2001 - 1000 AS y
+             |  FROM nation, (SELECT unnest(range(0, 240)) AS seq)),
+             |a AS (SELECT line_id, seq, x, y, abs(
+             |    (x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w) -
+             |    (y - lag(y) OVER w) * (lead(x) OVER w - lag(x) OVER w))
+             |      AS area2
+             |  FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq))
+             |SELECT line_id, seq, x, y FROM a
+             |WHERE area2 IS NULL OR area2 >= 900000
+             |ORDER BY line_id, seq""".stripMargin)),
+
+    // LINE RASTERIZATION (segment → cell cover): the way-geometry
+    // counterpart of the polygon cell cover — the cells along each
+    // segment, via dense parametric sampling at < ½ coordinate unit per
+    // step (2·(|dx|+|dy|)+1 samples; a cell is 4 units, so there are no
+    // gaps along the line — corner-grazed cells follow sampling
+    // semantics, identically on both engines; integer interpolation
+    // with a +1000 offset keeps every numerator positive so DIV floors
+    // the same everywhere) then DISTINCT per segment. Explode +
+    // hash-distinct: linear in cover size, no joins, no driver geometry.
+    QueryDef(
+      "q_line_cover",
+      (s, d) => {
+        val segs = Tables.t(s, d, "events")
+          .filter(pmod(col("event_id"), lit(37)) === 0)
+          .select(col("event_id"),
+            pmod(col("event_id") * 31L, lit(97L)).as("x0"),
+            pmod(col("event_id") * 57L, lit(89L)).as("y0"))
+          .withColumn("x1", col("x0") + pmod(col("event_id") * 13L, lit(23L)) - 11L)
+          .withColumn("y1", col("y0") + pmod(col("event_id") * 7L, lit(19L)) - 9L)
+        lineCover(segs).orderBy("event_id", "cx", "cy")
+      },
+      Some("""WITH s AS (SELECT event_id,
+             |    (event_id * 31) % 97 AS x0, (event_id * 57) % 89 AS y0
+             |  FROM events WHERE event_id % 37 = 0),
+             |e AS (SELECT event_id, x0, y0,
+             |    x0 + (event_id * 13) % 23 - 11 AS x1,
+             |    y0 + (event_id * 7) % 19 - 9 AS y1 FROM s),
+             |seg AS (SELECT *, 2 * (abs(x1 - x0) + abs(y1 - y0)) + 1 AS n
+             |  FROM e),
+             |samp AS (SELECT event_id, x0, y0, x1, y1, n,
+             |    unnest(range(0, n + 1)) AS i FROM seg),
+             |pts AS (SELECT event_id,
+             |    ((x0 + 1000) * n + (x1 - x0) * i) // (4 * n) - 250 AS cx,
+             |    ((y0 + 1000) * n + (y1 - y0) * i) // (4 * n) - 250 AS cy
+             |  FROM samp)
+             |SELECT DISTINCT event_id, cx, cy FROM pts
+             |ORDER BY event_id, cx, cy""".stripMargin))
   )
 }

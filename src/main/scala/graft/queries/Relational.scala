@@ -339,6 +339,72 @@ object Relational {
              |  FROM (SELECT event_type, user_id,
              |          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
              |        FROM events GROUP BY event_type, user_id)
-             |) WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin))
+             |) WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin)),
+
+    // SESSIONIZATION (gaps-and-islands): per-user event stream split
+    // into sessions at a 24 h inactivity gap. One shuffle on user_id;
+    // the lag + running-sum windows and the final per-session rollup
+    // all share that partitioning (Catalyst plans a single Exchange).
+    // Microsecond-exact epoch arithmetic; ties broken by event_id. The
+    // streaming twin (Spark's session_window) is pinned equivalent in
+    // SessionizeSpec — this relational form is the one a backfill over
+    // 10^12 archived events would run.
+    QueryDef(
+      "q_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val G = 86400000000L // 24 h in µs
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        Tables.t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("t"))
+          .withColumn("new_s",
+            when(col("t") - lag("t", 1).over(w) > G, 1L).otherwise(
+              when(lag("t", 1).over(w).isNull, 1L).otherwise(0L)))
+          .withColumn("sess", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess")
+          .agg(count(lit(1)).as("n_events"), min("t").as("start_us"),
+            (max("t") - min("t")).as("dur_us"))
+          .orderBy("user_id", "sess")
+      },
+      Some("""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS t
+             |  FROM events),
+             |f AS (SELECT user_id, event_id, t, CASE WHEN
+             |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             |      > 86400000000 OR
+             |    lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             |      IS NULL THEN 1 ELSE 0 END AS new_s FROM t),
+             |g AS (SELECT user_id, t, CAST(sum(new_s) OVER (
+             |    PARTITION BY user_id ORDER BY t, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM f)
+             |SELECT user_id, sess, count(*) AS n_events,
+             |  min(t) AS start_us, max(t) - min(t) AS dur_us
+             |FROM g GROUP BY user_id, sess
+             |ORDER BY user_id, sess""".stripMargin)),
+
+    // ROLLUP / grouping sets: the multi-granularity aggregation shape
+    // (per (lang, source), per lang, grand total) in ONE pass — Spark
+    // expands the sets before the shuffle so it stays a single
+    // partial+final aggregate, not three scans. Grouping indicators are
+    // emitted as explicit 0/1 columns (grouping_id bit orders differ
+    // across engines; grouping(col) doesn't).
+    QueryDef(
+      "q_grouping_sets",
+      (s, d) => {
+        Tables.t(s, d, "documents")
+          .rollup("lang", "source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+            grouping("lang").cast("long").as("g_lang"),
+            grouping("source").cast("long").as("g_source"))
+          .orderBy(col("g_lang"), col("g_source"), col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+             |  CAST(grouping(source) AS BIGINT) AS g_source
+             |FROM documents GROUP BY ROLLUP (lang, source)
+             |ORDER BY g_lang, g_source, lang NULLS FIRST,
+             |  source NULLS FIRST""".stripMargin))
   )
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.jobs.LinkRank
+import graft.util.{QueryDef, Tables}
+
+/** Web-text pipeline operators over the documents table — the
+  * Common-Crawl-facing half of the north rule (input_hint: pages carry
+  * `html BINARY` and the engine must preserve byte-identical extracted
+  * text per url). Each gate synthesizes its web-shaped input from
+  * `documents` with engine-common SQL (pure integer / string builtins),
+  * so the DuckDB oracle re-derives the same bytes and the compare is
+  * end-to-end exact.
+  *
+  * Single-sourcing: the error-prone shared formulas (HTML strip chain,
+  * URL canonicalization, BM25 integer scoring) are rendered from ONE
+  * template into both engines' dialects via tiny `Dialect` shims
+  * (regexp_replace global flag, integer division, list sort) — a tweak
+  * cannot desynchronize gate and oracle. Every regex is backslash-free
+  * (Spark SQL string literals eat `\`; DuckDB's don't): whitespace is
+  * pre-normalized with chr()-based replaces so `.` / `[ ]+` classes
+  * suffice, and `?` is escaped as the class `[?]`.
+  */
+object WebText {
+
+  /** Engine dialect shims for the shared SQL templates. */
+  private[queries] final case class Dialect(
+      rr: (String, String, String) => String, // global regexp_replace
+      idiv: (String, String) => String, // integer division
+      sortJoin: String => String) // split on '&', sort, re-join
+
+  private[queries] val sparkD = Dialect(
+    rr = (e, p, r) => s"regexp_replace($e, '$p', '$r')",
+    idiv = (a, b) => s"($a DIV $b)",
+    sortJoin = e => s"array_join(sort_array(split($e, '&')), '&')")
+
+  private[queries] val duckD = Dialect(
+    rr = (e, p, r) => s"regexp_replace($e, '$p', '$r', 'g')",
+    idiv = (a, b) => s"($a // $b)",
+    sortJoin = e => s"array_to_string(list_sort(string_split($e, '&')), '&')")
+
+  // ---------------------------------------------------------------- HTML
+
+  /** Deterministic page markup around each document's text: head noise
+    * (script / style / comment, varying by doc_id % 3), body markup and
+    * pre-escaped entities. Engine-common SQL. */
+  private[queries] val htmlSyn: String = {
+    val noise =
+      "CASE doc_id % 3 " +
+        "WHEN 0 THEN '<script type=\"text/javascript\">var x = 1 && 2; if (x<3) { go(\"now\"); }</script>' " +
+        "WHEN 1 THEN '<style>p > a { color: #fff; }</style>' " +
+        "ELSE '<!-- hidden <b>comment</b> -->' END"
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>' || " +
+      noise +
+      " || '</head><body><h1 class=\"t\">Doc ' || CAST(doc_id AS STRING) || " +
+      "'</h1><p>' || text || " +
+      "'</p><p>&lt;escaped&gt; &amp; &quot;quoted&quot; &#39;s</p></body></html>'"
+  }
+
+  /** The extraction chain: normalize control whitespace (chr-based, no
+    * regex), strip script/style/comment blocks, strip tags, decode the
+    * five core entities (amp LAST), collapse space runs, trim. Order
+    * matters and is identical in both renderings. The leading
+    * normalization is what lets every later pattern use `.` safely —
+    * after it, the page is one line. */
+  private[queries] def htmlTextSql(e0: String, d: Dialect): String = {
+    var s = e0
+    for (code <- Seq(9, 10, 13)) s = s"replace($s, chr($code), ' ')"
+    s = d.rr(s, "<script[^>]*>.*?</script>", " ")
+    s = d.rr(s, "<style[^>]*>.*?</style>", " ")
+    s = d.rr(s, "<!--.*?-->", " ")
+    s = d.rr(s, "<[^>]*>", " ")
+    for ((ent, ch) <- Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+        "&quot;" -> "'\"'", "&#39;" -> "chr(39)", "&amp;" -> "'&'"))
+      s = s"replace($s, '$ent', $ch)"
+    s"trim(${d.rr(s, "  +", " ")})"
+  }
+
+  // ----------------------------------------------------------------- URL
+
+  /** Four URL spellings per document; variants 0 and 1 of the same
+    * `doc_id DIV 4` base canonicalize to the same URL (case, default
+    * port, fragment, query-param order), variants 2 and 3 stay unique
+    * (non-default port kept, no query). */
+  private[queries] def urlSyn(d: Dialect): String = {
+    val base = s"CAST(${d.idiv("doc_id", "4")} AS STRING)"
+    val id = "CAST(doc_id AS STRING)"
+    s"""CASE doc_id % 4
+       | WHEN 0 THEN 'HTTP://Example.COM:80/p/' || $base || '?b=2&a=1#frag'
+       | WHEN 1 THEN 'http://example.com/p/' || $base || '?a=1&b=2'
+       | WHEN 2 THEN 'https://Other.ORG:8080/x/' || $id || '?z=9&y=8#top'
+       | ELSE 'https://other.org/x/' || $id END""".stripMargin
+  }
+
+  /** RFC-3986-style canonicalization: lowercase scheme+host, drop
+    * default ports (http:80 / https:443), drop the fragment, sort query
+    * parameters, default path '/'. Built on regexp_extract (identical
+    * signature and leftmost-match semantics in both engines). Assumes
+    * single-line URLs (guaranteed by any upstream crawl normalizer —
+    * and by urlSyn). */
+  private[queries] def urlCanonSql(d: Dialect): String = {
+    val nofrag = d.rr("url_raw", "#.*", "")
+    val scheme = "lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1))"
+    val hostport = s"regexp_extract($nofrag, '^[A-Za-z]+://([^/?#]+)', 1)"
+    val host = s"lower(${d.rr(hostport, ":[0-9]+", "")})"
+    val port = "regexp_extract(" + hostport + ", ':([0-9]+)', 1)"
+    val portKeep =
+      s"""CASE WHEN $port = '' THEN ''
+         | WHEN $scheme = 'http' AND $port = '80' THEN ''
+         | WHEN $scheme = 'https' AND $port = '443' THEN ''
+         | ELSE ':' || $port END""".stripMargin
+    val path0 = s"regexp_extract($nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    val path = s"CASE WHEN $path0 = '' THEN '/' ELSE $path0 END"
+    val q = s"regexp_extract($nofrag, '[?](.*)', 1)"
+    val qKeep = s"CASE WHEN $q = '' THEN '' ELSE '?' || ${d.sortJoin(q)} END"
+    s"$scheme || '://' || $host || $portKeep || $path || $qKeep"
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  private[queries] val Terms = Seq("spark", "hash", "window")
+
+  /** Space-padded non-overlapping token occurrence count (exact when
+    * occurrences are non-adjacent; leftmost-non-overlapping `replace`
+    * semantics are identical in both engines, so parity always holds). */
+  private[queries] def tfSql(term: String, d: Dialect): String = {
+    val p = s"(' ' || text || ' ')"
+    d.idiv(s"(length($p) - length(replace($p, ' $term ', '')))",
+      s"${term.length + 2}")
+  }
+
+  /** Whitespace token count (text is single-space separated). */
+  private[queries] val dlSql =
+    "(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)"
+
+  // ------------------------------------------------------------- queries
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // HTML → text extraction (input_hint: html BINARY; "byte-identical
+    // extracted text per url"). The page travels as BINARY exactly as a
+    // crawl table would store it; the whole strip chain is builtin
+    // regexp/replace functions — codegen'd, no UDF, one narrow scan.
+    QueryDef(
+      "q_html_extract",
+      (s, d) => {
+        val pages = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
+            expr(htmlSyn).cast("binary").as("html"))
+        pages
+          .withColumn("page", expr("decode(html, 'UTF-8')"))
+          .withColumn("extracted", expr(htmlTextSql("page", sparkD)))
+          .select(col("doc_id"), col("url"), col("extracted"),
+            length(col("extracted")).cast("long").as("n_chars_extracted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id, $htmlSyn AS page FROM documents),
+              |ex AS (SELECT doc_id, ${htmlTextSql("page", duckD)} AS extracted
+              |  FROM pg)
+              |SELECT doc_id, 'https://example.test/d/' || CAST(doc_id AS STRING) AS url,
+              |  extracted, CAST(length(extracted) AS BIGINT) AS n_chars_extracted
+              |FROM ex ORDER BY doc_id""".stripMargin)),
+
+    // URL canonicalization + dedup: group pages by canonical URL, keep
+    // the earliest doc. Per-row canonicalization then one hash
+    // aggregation on the canonical key — the first stage of any crawl
+    // dedup at 10^12 rows (no shuffle until the groupBy, and that
+    // shuffle carries only (canon, id) after map-side partial agg).
+    QueryDef(
+      "q_url_canon",
+      (s, d) => {
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), expr(urlSyn(sparkD)).as("url_raw"))
+          .withColumn("canon_url", expr(urlCanonSql(sparkD)))
+          .groupBy("canon_url")
+          .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper"))
+          .orderBy("canon_url")
+      },
+      Some(s"""WITH raw AS (SELECT doc_id, ${urlSyn(duckD)} AS url_raw
+              |  FROM documents)
+              |SELECT ${urlCanonSql(duckD)} AS canon_url,
+              |  count(*) AS n_variants, min(doc_id) AS keeper
+              |FROM raw GROUP BY 1 ORDER BY canon_url""".stripMargin)),
+
+    // BM25 top-k retrieval (integer-scaled, rank-exact): per-doc term
+    // frequencies + doc length in one scan, corpus stats (N, avgdl,
+    // per-term df) as a 1-row broadcast-keyed join, score = Σ_t idf_t ·
+    // tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) in fixed-point (k1=1.2,
+    // b=0.75, idf surrogate (N−df+1)/(df+1) ×1e6) — all BIGINT, so both
+    // engines rank identically; ties broken by doc_id; TakeOrdered, no
+    // global sort.
+    QueryDef(
+      "q_bm25_topk",
+      (s, d) => {
+        val tf = Terms.zipWithIndex.map { case (t, i) =>
+          expr(tfSql(t, sparkD)).as(s"tf$i") }
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id") +: expr(dlSql).cast("long").as("dl") +: tf: _*)
+        val statCols = count(lit(1)).as("n") +: sum("dl").as("sumdl") +:
+          Terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        // scalar attach: the 1-row corpus-stats aggregate rides a
+        // broadcast nested-loop join — with a single-row build side
+        // that IS the optimal plan (each task reads one cached row;
+        // an equi-join on a planted constant folds to the same shape)
+        val stats = docs.agg(statCols.head, statCols.tail: _*)
+        val scored = docs.crossJoin(broadcast(stats))
+          .withColumn("avgdl", expr("sumdl DIV n"))
+        val perTerm = Terms.indices.map { i =>
+          expr(s"(((n - df$i + 1) * 1000000) DIV (df$i + 1)) * tf$i * 2200 " +
+            s"DIV (tf$i * 1000 + 300 + (900 * dl) DIV avgdl)")
+        }
+        scored
+          .withColumn("score", perTerm.reduce(_ + _))
+          .select("doc_id", "score")
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val tfs = Terms.zipWithIndex.map { case (t, i) =>
+          s"${tfSql(t, duckD)} AS tf$i" }.mkString(", ")
+        val dfs = Terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        val score = Terms.indices.map(i =>
+          s"((((n - df$i + 1) * 1000000) // (df$i + 1)) * tf$i * 2200 " +
+            s"// (tf$i * 1000 + 300 + (900 * dl) // avgdl))").mkString(" + ")
+        s"""WITH d AS (SELECT doc_id, $dlSql AS dl, $tfs FROM documents),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl,
+           |    $dfs FROM d)
+           |SELECT doc_id, $score AS score FROM d, stats
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Link-graph PageRank, 5 damped fixed-point iterations — the
+    // iterative-join workload class (LabelProp's weighted cousin).
+    // Deterministic synthetic out-links, 3 per doc: one in five points
+    // into a 100-page hot head (a real web graph's celebrity skew — a
+    // bare affine map would be a bijection per link slot, uniform
+    // in-degree, and the rank a trivial fixed point), the rest
+    // multiplicative-hash spread. All arithmetic in BIGINT fixed-point
+    // (scale 1e6, contributions rank DIV outdeg, damping 0.85 as ·850
+    // DIV 1000) so five chained DuckDB CTEs reproduce the ranks
+    // bit-for-bit.
+    QueryDef(
+      "q_pagerank",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents").select(col("doc_id").as("id"))
+        val n = docs.count() // one tiny scalar, mirrored by the oracle's subquery
+        val edges = docs
+          .withColumn("j", explode(expr("sequence(1, 3)")))
+          .select(col("id").as("src"),
+            when((col("id") + col("j")) % 5 === 0, (col("id") * 13L) % 100L)
+              .otherwise(
+                pmod(col("id") * 2654435761L + col("j") * 40503L, lit(n)))
+              .as("dst"))
+        LinkRank.run(s, docs, edges, iters = 5)
+          .select(col("id").as("doc_id"), col("r").as("rank_fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val base =
+          """nodes AS (SELECT doc_id AS id FROM documents),
+            |edges AS (SELECT doc_id AS src,
+            |    CASE WHEN (doc_id + j) % 5 = 0 THEN (doc_id * 13) % 100
+            |      ELSE (doc_id * 2654435761 + j * 40503) %
+            |        (SELECT count(*) FROM documents) END AS dst
+            |  FROM documents, (SELECT unnest([1, 2, 3]) AS j)),
+            |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            |  FROM edges GROUP BY src),
+            |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (SELECT n.id,
+             |    150000 + (850 * COALESCE(s.acc, 0)) // 1000 AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS id, CAST(sum(r.r // g.outdeg) AS BIGINT) AS acc
+             |    FROM edges e JOIN r${k - 1} r ON e.src = r.id
+             |    JOIN deg g ON e.src = g.src GROUP BY e.dst) s
+             |  ON n.id = s.id)""".stripMargin
+        }.mkString(",\n")
+        s"WITH $base,\n$iters\nSELECT id AS doc_id, r AS rank_fp FROM r5 ORDER BY doc_id"
+      }))
+}

@@ -149,15 +149,26 @@ class PlanQualitySpec extends AnyFunSuite {
     // DF is a tiny aggregate whose internal joins are asserted by
     // their own specs/degrade tests.
     val baselines = Set("q_ngram_jaccard", "q_embed_knn_l2q")
+    // scalar attach: a 1-ROW aggregate broadcast to every task (BM25's
+    // corpus stats) legitimately plans as BroadcastNestedLoopJoin —
+    // with a single-row build side that IS the optimal plan. Allowed
+    // only as broadcast-build NL; a CartesianProduct would mean the
+    // broadcast was lost.
+    val scalarAttach = Set("q_bm25_topk")
     val eager = Set("q_stream_dedup", "q_osc_upsert", "q_pgcopy_roundtrip",
       "q_osm_roundtrip", "q_multimodal", "q_dedup_clusters")
     val sf = "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !baselines(name) && !eager(name)) {
       val plan = fn(spark, sf).queryExecution.sparkPlan.toString()
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"),
-        s"$name plans a non-equi join:\n$plan")
+      if (scalarAttach(name))
+        assert(plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name must attach its scalar stats via broadcast:\n$plan")
+      else
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name plans a non-equi join:\n$plan")
     }
   }
 
