@@ -230,7 +230,7 @@ object Bench {
         "q_embed_ann_ivf_recall", "q_embed_ann_ivfpq_recall", "q_page_knn",
         "q_multimodal", "q_stream_dedup", "q_stream_dedup_ttl",
         "q_admin_incremental", "q_extract", "q_knn_centres", "q_osc_upsert",
-        "q_vectorize"))
+        "q_vectorize", "q_warc_roundtrip"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.jobs.LinkRank
-import graft.util.{QueryDef, Tables}
+import graft.util.{QueryDef, Staging, Tables}
+import graft.warc.{WarcRead, WarcWrite}
 
 /** Web-text pipeline operators over the documents table — the
   * Common-Crawl-facing half of the north rule (input_hint: pages carry
@@ -138,6 +139,53 @@ object WebText {
   // ------------------------------------------------------------- queries
 
   val defs: Seq[QueryDef] = Seq(
+
+    // WARC archive round trip (ISO 28500 — the web-archive source/sink,
+    // the crawl counterpart of the PBF round trip): pages → WARC in
+    // BOTH layouts (plain resync-indexable .warc AND the Common-Crawl
+    // per-record-gzip-member .warc.gz) → distributed read-back → the
+    // SAME extraction chain as q_html_extract. Grouping on (url, ts_us,
+    // extracted) with n_copies = 2 proves the two layouts byte-agree,
+    // and the DuckDB oracle re-derives everything from `documents`
+    // directly — so the whole archive round trip is value-checked
+    // end-to-end (byte-identical extracted text per url, the north-rule
+    // invariant, THROUGH the archive format). Archives are staged once
+    // per session (the first run pays the two sink writes; warm runs
+    // time the distributed read of both layouts + extraction).
+    QueryDef(
+      "q_warc_roundtrip",
+      (s, d) => {
+        val dir = Staging.dir("warc", d)
+        val marker = dir.resolve("_STAGED")
+        val plainDir = dir.resolve("plain").toString
+        val gzDir = dir.resolve("gz").toString
+        if (!java.nio.file.Files.exists(marker)) {
+          val pages = Tables.t(s, d, "documents")
+            .select(
+              concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
+              ((col("doc_id") * 7L + 1700000000L) * 1000000L).as("ts_us"),
+              expr(htmlSyn).cast("binary").as("payload"))
+            .repartition(4, col("url"))
+          WarcWrite.write(pages, plainDir, gzip = false)
+          WarcWrite.write(pages, gzDir, gzip = true)
+          java.nio.file.Files.createFile(marker)
+        }
+        WarcRead.records(s, plainDir).union(WarcRead.records(s, gzDir))
+          .filter(col("warcType") === "response")
+          .select(col("url"), col("tsUs").as("ts_us"),
+            expr("decode(payload, 'UTF-8')").as("page"))
+          .withColumn("extracted", expr(htmlTextSql("page", sparkD)))
+          .groupBy("url", "ts_us", "extracted")
+          .agg(count(lit(1)).as("n_copies"))
+          .orderBy("url")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id,
+              |    'https://example.test/d/' || CAST(doc_id AS STRING) AS url,
+              |    (doc_id * 7 + 1700000000) * 1000000 AS ts_us,
+              |    $htmlSyn AS page FROM documents)
+              |SELECT url, ts_us, ${htmlTextSql("page", duckD)} AS extracted,
+              |  CAST(2 AS BIGINT) AS n_copies
+              |FROM pg ORDER BY url""".stripMargin)),
 
     // HTML → text extraction (input_hint: html BINARY; "byte-identical
     // extracted text per url"). The page travels as BINARY exactly as a
