@@ -128,6 +128,52 @@ object TextRT {
   }
 }
 
+/** Deterministic greedy longest-match subword tokenizer (the BPE
+  * inference rule over a FIXED in-repo vocab): at each position take
+  * the longest vocab entry (4 > 3 > 2 code points) matching there,
+  * else a single-character token; spaces separate words and are not
+  * tokens themselves. Since no vocab entry contains a space, scanning
+  * the whole text while skipping spaces is exactly per-word
+  * tokenization — the form the DuckDB oracle replays with a recursive
+  * CTE over the DISTINCT word set. Defined over UNICODE CODE POINTS
+  * (DuckDB substr() counts characters, not UTF-16 units). Top-level
+  * object so codegen reaches tokenCount through a static forwarder. */
+object TokRT {
+  val Vocab4: Seq[String] = Seq("tion", "ment", "ther", "ight")
+  val Vocab3: Seq[String] = Seq(
+    "the", "ing", "ion", "and", "ent", "for", "ati", "ter", "est")
+  val Vocab2: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
+    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
+    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
+    "de", "hi", "ri", "ro", "ic")
+  private val sets: Array[java.util.HashSet[String]] = {
+    val a = Array.fill(5)(new java.util.HashSet[String]())
+    Vocab4.foreach(a(4).add); Vocab3.foreach(a(3).add); Vocab2.foreach(a(2).add)
+    a
+  }
+  def tokenCount(lowered: UTF8String): Long = {
+    val cps = lowered.toString.codePoints().toArray
+    val n = cps.length
+    var i = 0
+    var cnt = 0L
+    while (i < n) {
+      if (cps(i) == ' ') i += 1
+      else {
+        var step = 1
+        var l = 4
+        while (l >= 2 && step == 1) {
+          if (i + l <= n && sets(l).contains(new String(cps, i, l))) step = l
+          l -= 1
+        }
+        cnt += 1
+        i += step
+      }
+    }
+    cnt
+  }
+}
+
 /** str_poly_hash(text) → BIGINT in [0, 1e9+7). Deterministic document
   * fingerprint (SURVEY.md training-data ops); also the shared hash
   * primitive under minhash/simhash. */
@@ -180,11 +226,26 @@ case class Simhash16Expr(text: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Simhash16Expr = copy(c)
 }
 
+/** tokenize_count(lowered_text) → BIGINT: greedy longest-match subword
+  * token count over the fixed vocab (pass text through lower() first). */
+case class TokenizeCountExpr(text: Expression) extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any =
+    TokRT.tokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokRT.tokenCount($c)")
+  override protected def withNewChildInternal(c: Expression): TokenizeCountExpr = copy(c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
 
   def str_poly_hash(text: Column): Column =
     column(StrPolyHashExpr(expression(text)))
+  def tokenize_count(loweredText: Column): Column =
+    column(TokenizeCountExpr(expression(loweredText)))
   def simhash16(loweredText: Column): Column =
     column(Simhash16Expr(expression(loweredText)))
   def shingle_hashes(loweredText: Column): Column =

@@ -45,7 +45,7 @@ object AdminAreas {
   /** Latest visible version of each element id of one kind (shared
     * with [[Extract]] — one definition of the snapshot-resolution
     * rule). */
-  private[jobs] def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
+  private[graft] def latestVisible(osm: Dataset[OsmEntity], kind: Byte): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("version").desc)
     osm.filter(col("kind") === kind)
       .withColumn("_rn", row_number().over(w))

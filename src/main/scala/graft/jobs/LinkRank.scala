@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
   *    `src` (co-partitioned with the cached edges), then the `dst`
   *    aggregation with map-side partial sums. Nothing is collected to
   *    the driver;
-  *  - dangling vertices (no out-edges) simply contribute nothing;
-  *    vertices with no in-edges take the (1−d) floor via the left join
-  *    against the node set;
+  *  - dangling vertices (no out-edges) simply contribute nothing, and
+  *    contributions to `dst` ids ABSENT from `nodes` are dropped by the
+  *    left join — rank mass leaks rather than being redistributed (the
+  *    classic dangling-mass correction is deliberately omitted: it
+  *    needs a per-iteration global scalar, and the damping floor keeps
+  *    every rank positive; callers wanting stochastic-matrix semantics
+  *    should pre-filter edges to `dst ∈ nodes` and add the dangling
+  *    redistribution term themselves). Vertices with no in-edges take
+  *    the (1−d) floor via the left join against the node set;
   *  - hot `dst` keys (celebrity pages) are a shuffle-skew concern, not
   *    a correctness one: partial aggregation absorbs them map-side and
   *    AQE skew handling splits the residue.

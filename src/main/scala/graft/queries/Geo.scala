@@ -64,6 +64,25 @@ object Geo {
       .select("line_id", "seq", "x", "y")
   }
 
+  /** Full iterative Visvalingam: re-run the one-pass filter — each pass
+    * recomputing deviation triangles against the SURVIVORS' new
+    * neighbours — until no vertex drops (a fixed point; vwFilter is
+    * then idempotent on the result). The driver loop carries only a
+    * per-pass row count; each pass stays one window shuffle on line_id,
+    * and convergence is a handful of passes (every pass must drop ≥1
+    * vertex to continue, and batch passes drop large fractions). */
+  private[queries] def vwFixedPoint(pts: DataFrame, eps: Long): DataFrame = {
+    var cur = pts.localCheckpoint()
+    var n = cur.count()
+    var done = false
+    while (!done) {
+      val next = vwFilter(cur, eps).localCheckpoint()
+      val m = next.count()
+      if (m == n) done = true else { cur = next; n = m }
+    }
+    cur
+  }
+
   /** Sampled line→cell cover kernel (q_line_cover + GeoSimplifySpec):
     * 2·(|dx|+|dy|)+1 integer-interpolated samples per segment (< ½ unit
     * per step; cell = 4 units; +1000 offset keeps numerators positive
@@ -370,8 +389,10 @@ object Geo {
         // the diff-apply + restricted rebuild executes eagerly in here
         // (checkpointed frames) over a 45k-row fixture — scope the
         // shuffle sizing down to match
+        // shares the session-staged latest-visible snapshot with
+        // q_extract (one 3-kind resolution per session, not per gate)
         val r = graft.util.Scoped.shufflePartitions(s, 8) {
-          val snap = OsmQueries.osmFixture(s)
+          val snap = OsmQueries.osmFixtureLV(s)
           AdminAreas.incrementalUpdate(
             s, snap, areas(s), incrementalDiffs(s, snap))
         }
@@ -397,9 +418,11 @@ object Geo {
         // the polygon comes from the session's assembled admin set
         // (Extract.byArea — the persisted-admin-stage reuse path; the
         // self-contained byRelation form is ExtractSpec/CLI-covered)
+        // input is the session-staged latest-visible snapshot, shared
+        // with q_admin_incremental (latestVisible is idempotent)
         val ex = graft.util.Scoped.shufflePartitions(s, 8) {
           import s.implicits._
-          graft.jobs.Extract.byArea(s, OsmQueries.osmFixture(s),
+          graft.jobs.Extract.byArea(s, OsmQueries.osmFixtureLV(s),
               areas(s).filter(_.relationId == 1558549L))
             .localCheckpoint()
         }
@@ -499,6 +522,58 @@ object Geo {
              |SELECT line_id, seq, x, y FROM a
              |WHERE area2 IS NULL OR area2 >= 900000
              |ORDER BY line_id, seq""".stripMargin)),
+
+    // ITERATIVE Visvalingam to a FIXED POINT: the same kernel re-run
+    // until no vertex drops — pass 2+ recompute each survivor's
+    // deviation triangle against its NEW neighbours, so vertices that
+    // hid behind since-dropped neighbours fall in later passes (the
+    // one-pass q_simplify form is the bulk-reduction stage; this is the
+    // full simplification). The shelf-notch fixture makes pass 2
+    // GENUINELY fire: period-10 shelves at height k·1000 (k=line_id%3+1)
+    // flanking a baseline notch. Shelf/ramp vertices have |2A| = u·h·k
+    // (=1.5e6/k·…), the notch 2·u·h·k. At eps=1.5e6, k=1 lines drop
+    // every shelf in pass 1 (1e6 < eps) but KEEP the notches (2e6);
+    // pass 2 then finds the notches collinear with the baseline
+    // survivors and drops them too — a drop that only exists because
+    // the neighbours changed. k≥2 lines converge in one pass, so the
+    // result mixes trivial and multi-pass lines. Spark loops to the
+    // data-dependent fixed point; the oracle replays a fixed 12-pass
+    // CTE chain — passes beyond convergence are identities, so the
+    // replay is exact for any convergence depth ≤ 12 (fixture: 3).
+    QueryDef(
+      "q_simplify_fixed",
+      (s, d) => {
+        vwFixedPoint(Tables.t(s, d, "nation")
+          .select(col("n_nationkey").cast("long").as("line_id"))
+          .withColumn("seq", explode(expr("sequence(0, 239)")))
+          .select(col("line_id"), col("seq"),
+            (col("seq") * 1000L).as("x"),
+            when(pmod(col("seq"), lit(10)).isin(3, 4, 6, 7),
+              (col("line_id") % 3 + 1) * 1000L)
+              .otherwise(lit(0L)).as("y")), eps = 1500000L)
+          .orderBy("line_id", "seq")
+      },
+      Some {
+        val passes = (1 to 12).map { k =>
+          val src = if (k == 1) "v" else s"p${k - 1}"
+          s"""p$k AS (SELECT line_id, seq, x, y FROM (
+             |  SELECT line_id, seq, x, y, abs(
+             |    (x - lag(x) OVER w) * (lead(y) OVER w - lag(y) OVER w) -
+             |    (y - lag(y) OVER w) * (lead(x) OVER w - lag(x) OVER w))
+             |      AS area2
+             |  FROM $src WINDOW w AS (PARTITION BY line_id ORDER BY seq))
+             |WHERE area2 IS NULL OR area2 >= 1500000)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT CAST(n_nationkey AS BIGINT) AS line_id,
+           |    seq, seq * 1000 AS x,
+           |    CASE WHEN seq % 10 IN (3, 4, 6, 7)
+           |      THEN (CAST(n_nationkey AS BIGINT) % 3 + 1) * 1000
+           |      ELSE 0 END AS y
+           |  FROM nation, (SELECT unnest(range(0, 240)) AS seq)),
+           |$passes
+           |SELECT line_id, seq, x, y FROM p12
+           |ORDER BY line_id, seq""".stripMargin
+      }),
 
     // LINE RASTERIZATION (segment → cell cover): the way-geometry
     // counterpart of the polygon cell cover — the cells along each

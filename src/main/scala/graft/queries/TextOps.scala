@@ -45,6 +45,27 @@ object TextOps {
 
   private def sph(c: Column): Column = TextFunctions.str_poly_hash(c)
 
+  /** Fixed in-repo unigram LM for the perplexity filter (q_ppl_filter):
+    * word → negative log-probability in integer MICRO-NATS. A fixed
+    * model (like TokRT's vocab) — the gate's semantics are "score under
+    * THIS model", so the values only need to be deterministic, ordered
+    * plausibly, and single-sourced into both engines (the oracle VALUES
+    * list is rendered from this Seq). */
+  private[queries] val PplVocab: Seq[(String, Long)] = Seq(
+    "a" -> 1200000L, "the" -> 1500000L, "join" -> 2500000L,
+    "hash" -> 2600000L, "row" -> 2700000L, "batch" -> 2800000L,
+    "scan" -> 2900000L, "column" -> 3000000L, "filter" -> 3100000L,
+    "small" -> 3200000L, "slow" -> 3300000L, "merge" -> 3400000L,
+    "order" -> 3500000L, "data" -> 3600000L, "table" -> 3700000L,
+    "agg" -> 3800000L, "value" -> 3900000L, "key" -> 4000000L,
+    "window" -> 4100000L, "spark" -> 4200000L)
+
+  /** Out-of-vocabulary penalty (micro-nats). */
+  private[queries] val PplOov: Long = 9000000L
+
+  /** Keep documents whose mean token NLL is below this (micro-nats). */
+  private[queries] val PplKeepBelow: Long = 5150000L
+
   /** THE stopword-count language-ID classifier — one definition for
     * all four sites (Spark q_lang_id / q_corpus_filter and both
     * oracles), so a tweak cannot desynchronize gate and oracle.
@@ -68,6 +89,33 @@ object TextOps {
     s"""list_distinct(list_transform(
        |  range(1, greatest(len(toks) - 1, 1)),
        |  i -> ${ph("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
+
+  /** DuckDB replay of the greedy longest-match subword tokenizer
+    * (TokRT): a recursive CTE advancing one greedy match per step —
+    * run over the DISTINCT word set (words are ≤ ~20 chars, so the
+    * recursion is shallow and the row count tiny), then joined back to
+    * the per-doc word multiset. Requires WITH RECURSIVE and a prior
+    * `src(doc_id, text)` CTE; yields `tc(doc_id, bpe_tokens)`. */
+  private def tokCountCtes: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    import graft.expr.TokRT
+    s"""wd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM src),
+       |uw AS (SELECT DISTINCT w FROM wd),
+       |tk AS (
+       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM uw
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + CASE WHEN substr(w, pos, 4) IN (${inList(TokRT.Vocab4)}) THEN 4
+       |      WHEN substr(w, pos, 3) IN (${inList(TokRT.Vocab3)}) THEN 3
+       |      WHEN substr(w, pos, 2) IN (${inList(TokRT.Vocab2)}) THEN 2
+       |      ELSE 1 END,
+       |    cnt + 1
+       |  FROM tk WHERE pos <= len(w)),
+       |wc AS (SELECT w, cnt FROM tk WHERE pos > len(w)),
+       |tc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS bpe_tokens
+       |  FROM wd JOIN wc USING (w) GROUP BY doc_id)""".stripMargin
+  }
 
   /** k=8 minhash signature as a PER-ROW array expression over the
     * shingle set — zero fan-out, zero shuffle. (Round-1 used
@@ -177,6 +225,25 @@ object TextOps {
               |  len(text) AS n_chars, (len(text) + 3) // 4 AS est_bpe
               |FROM ($corpusSql) ORDER BY doc_id""".stripMargin)),
 
+    // REAL subword tokenization (greedy longest-match over the fixed
+    // in-repo vocab — the deterministic BPE inference rule): per-doc
+    // token count from the TokRT codegen kernel, one tight per-row
+    // loop, zero shuffle. The oracle replays the exact greedy rule with
+    // a recursive CTE over the distinct word set.
+    QueryDef(
+      "q_subword_tokens",
+      (s, d) => corpus(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenize_count(lower(col("text"))).as("bpe_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE src AS ($corpusSql),
+              |$tokCountCtes
+              |SELECT s.doc_id, tc.bpe_tokens,
+              |  CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_words
+              |FROM src s JOIN tc ON s.doc_id = tc.doc_id
+              |ORDER BY s.doc_id""".stripMargin)),
+
     // language-ID heuristic: scaled stopword scores, deterministic CASE
     QueryDef(
       "q_lang_id",
@@ -273,8 +340,9 @@ object TextOps {
              |ORDER BY lang_pred, len_bucket""".stripMargin)),
 
     // sequence PACKING — the token-budget batching op before training:
-    // documents pack greedily in doc_id order into bins of ≤2048
-    // estimated BPE tokens, PER SHARD (shard = doc_id % 32) so the
+    // documents pack greedily in doc_id order into bins of ≤2048 REAL
+    // subword tokens (the TokRT greedy longest-match tokenizer — not a
+    // length estimate), PER SHARD (shard = doc_id % 32) so the
     // running-sum window parallelizes — a single global ordering window
     // would serialize 10^12 rows through one partition; per-shard
     // packing is the standard scale shape (shards ≈ data-loader
@@ -289,7 +357,7 @@ object TextOps {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         corpus(s, d)
           .select(col("doc_id"),
-            expr("(length(text) + 3) DIV 4").as("toks"),
+            TextFunctions.tokenize_count(lower(col("text"))).as("toks"),
             pmod(col("doc_id"), lit(32L)).as("shard"))
           .filter(col("shard") < 4)
           .withColumn("csum", coalesce(sum(col("toks")).over(w), lit(0L)))
@@ -299,9 +367,11 @@ object TextOps {
             min(col("doc_id")).as("first_id"))
           .orderBy("shard", "bin")
       },
-      Some(s"""WITH t AS (SELECT doc_id, (len(text) + 3) // 4 AS toks,
-             |    doc_id % 32 AS shard
-             |  FROM ($corpusSql) WHERE doc_id % 32 < 4),
+      Some(s"""WITH RECURSIVE src AS (
+             |  SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 32 < 4),
+             |$tokCountCtes,
+             |t AS (SELECT s.doc_id, tc.bpe_tokens AS toks, s.doc_id % 32 AS shard
+             |  FROM src s JOIN tc ON s.doc_id = tc.doc_id),
              |b AS (SELECT shard, doc_id, toks,
              |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -367,6 +437,102 @@ object TextOps {
              |    PARTITION BY source ORDER BY doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 10 ORDER BY doc_id""".stripMargin)),
+
+    // PARAGRAPH-HASH dedup (the CCNet/RefinedWeb boilerplate-removal
+    // op): explode documents into paragraphs, hash each, keep a
+    // paragraph only in its FIRST occurrence (min (doc_id, idx) per
+    // hash), reassemble the surviving text per doc. The fixture plants
+    // a global copyright line in every doc and a promo line in every
+    // 5th, so the op has real cross-document boilerplate to strip.
+    // Scale shape: keeper election = one hash groupBy with map-side
+    // partial min (the global boilerplate key is the hottest key a
+    // crawl has — partials absorb it); keep test = hash equi-join
+    // co-partitioned with the election; reassembly = one doc_id
+    // groupBy. Nothing all-pairs, nothing driver-side; keying on the
+    // 64-bit-ish hash (not the paragraph bytes) keeps the shuffle rows
+    // narrow — the exact CCNet construction (they key on SHA1 prefix).
+    QueryDef(
+      "q_para_dedup",
+      (s, d) => {
+        val paras = Tables.t(s, d, "documents")
+          .select(col("doc_id"), posexplode(array(
+            lit("copyright boilerplate all rights reserved"),
+            col("text"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("subscribe to our newsletter today")))))
+          .toDF("doc_id", "idx", "para")
+          .filter(col("para").isNotNull)
+          .withColumn("h", sph(col("para")))
+          .withColumn("occ", col("doc_id") * 10L + col("idx"))
+        val keeper = paras.groupBy("h")
+          .agg(min(col("occ")).as("keep_occ"))
+        paras.join(keeper, "h")
+          .withColumn("kept", col("occ") === col("keep_occ"))
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(" +
+              "CASE WHEN kept THEN struct(idx, para) END)), " +
+              "x -> x.para), ' ')").as("text_dedup"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pr AS (
+              |  SELECT doc_id, idx, para FROM (
+              |    SELECT doc_id, unnest(['copyright boilerplate all rights reserved',
+              |        text,
+              |        CASE WHEN doc_id % 5 = 0
+              |          THEN 'subscribe to our newsletter today' END]) AS para,
+              |      unnest([0, 1, 2]) AS idx
+              |    FROM documents)
+              |  WHERE para IS NOT NULL),
+              |ph AS (SELECT doc_id, idx, para, ${ph("para")} AS h,
+              |    doc_id * 10 + idx AS occ FROM pr),
+              |kp AS (SELECT h, min(occ) AS keep_occ FROM ph GROUP BY h)
+              |SELECT doc_id,
+              |  coalesce(string_agg(para, ' ' ORDER BY idx)
+              |    FILTER (WHERE occ = keep_occ), '') AS text_dedup,
+              |  CAST(count(*) FILTER (WHERE occ = keep_occ) AS BIGINT) AS n_kept,
+              |  CAST(count(*) FILTER (WHERE occ <> keep_occ) AS BIGINT) AS n_dropped
+              |FROM ph JOIN kp USING (h)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PERPLEXITY (unigram-LM) quality filter — the CCNet-style "does a
+    // language model like this text" gate: per-token mean negative
+    // log-probability under a FIXED in-repo unigram model (integer
+    // micro-nats, OOV penalty), keep docs under a fixed ceiling. The
+    // model table is the broadcast side (a real KenLM vocab is a few
+    // hundred MB — still the broadcast/dim side of the join at crawl
+    // scale); one explode → broadcast-left-join → doc_id groupBy with
+    // map-side partials. All integers, so both engines agree exactly.
+    QueryDef(
+      "q_ppl_filter",
+      (s, d) => {
+        import s.implicits._
+        val vocabDf = broadcast(PplVocab.toDF("w", "nlp"))
+        corpus(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .join(vocabDf, Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(coalesce(col("nlp"), lit(PplOov))).as("nll_sum"))
+          .withColumn("nll_micro", expr("nll_sum DIV n_words"))
+          .withColumn("kept", (col("nll_micro") < PplKeepBelow).cast("int"))
+          .select("doc_id", "n_words", "nll_micro", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH v(w, nlp) AS (VALUES ${
+                PplVocab.map { case (w, p) => s"('$w', $p)" }.mkString(", ")}),
+              |tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              |  FROM ($corpusSql)),
+              |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |    CAST(sum(coalesce(v.nlp, $PplOov)) AS BIGINT) AS nll_sum
+              |  FROM tk LEFT JOIN v USING (w) GROUP BY doc_id)
+              |SELECT doc_id, n_words, nll_sum // n_words AS nll_micro,
+              |  CAST(nll_sum // n_words < $PplKeepBelow AS INTEGER) AS kept
+              |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // exact dedup: hash-groupBy on text
     QueryDef(

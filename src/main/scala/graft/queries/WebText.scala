@@ -187,6 +187,54 @@ object WebText {
               |  CAST(2 AS BIGINT) AS n_copies
               |FROM pg ORDER BY url""".stripMargin)),
 
+    // HTTP-framed WARC round trip — the layout REAL Common-Crawl shards
+    // use: each `response` record's block is a full HTTP/1.1 message
+    // (status line + headers + CRLFCRLF + body, WARC Content-Type
+    // `application/http; msgtype=response`). Pages travel as complete
+    // HTTP messages through BOTH archive layouts; the reader splits out
+    // (httpStatus, body) and the extraction chain runs on `body` — so
+    // an actual CC shard needs no manual header-strip. n_copies = 2
+    // proves the two layouts byte-agree on the extracted text AND the
+    // parsed status; the DuckDB oracle re-derives everything from
+    // `documents`, value-checking body-byte identity through the HTTP
+    // framing end-to-end.
+    QueryDef(
+      "q_warc_http",
+      (s, d) => {
+        val dir = Staging.dir("warc_http", d)
+        val marker = dir.resolve("_STAGED")
+        val plainDir = dir.resolve("plain").toString
+        val gzDir = dir.resolve("gz").toString
+        if (!java.nio.file.Files.exists(marker)) {
+          val pages = Tables.t(s, d, "documents")
+            .select(
+              concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
+              ((col("doc_id") * 7L + 1700000000L) * 1000000L).as("ts_us"),
+              expr(htmlSyn).cast("binary").as("payload"))
+            .repartition(4, col("url"))
+          WarcWrite.write(pages, plainDir, gzip = false, http = true)
+          WarcWrite.write(pages, gzDir, gzip = true, http = true)
+          java.nio.file.Files.createFile(marker)
+        }
+        WarcRead.records(s, plainDir).union(WarcRead.records(s, gzDir))
+          .filter(col("warcType") === "response")
+          .select(col("url"), col("tsUs").as("ts_us"),
+            col("httpStatus").cast("long").as("http_status"),
+            expr("decode(body, 'UTF-8')").as("page"))
+          .withColumn("extracted", expr(htmlTextSql("page", sparkD)))
+          .groupBy("url", "ts_us", "http_status", "extracted")
+          .agg(count(lit(1)).as("n_copies"))
+          .orderBy("url")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id,
+              |    'https://example.test/d/' || CAST(doc_id AS STRING) AS url,
+              |    (doc_id * 7 + 1700000000) * 1000000 AS ts_us,
+              |    $htmlSyn AS page FROM documents)
+              |SELECT url, ts_us, CAST(200 AS BIGINT) AS http_status,
+              |  ${htmlTextSql("page", duckD)} AS extracted,
+              |  CAST(2 AS BIGINT) AS n_copies
+              |FROM pg ORDER BY url""".stripMargin)),
+
     // HTML → text extraction (input_hint: html BINARY; "byte-identical
     // extracted text per url"). The page travels as BINARY exactly as a
     // crawl table would store it; the whole strip chain is builtin
@@ -232,6 +280,68 @@ object WebText {
               |SELECT ${urlCanonSql(duckD)} AS canon_url,
               |  count(*) AS n_variants, min(doc_id) AS keeper
               |FROM raw GROUP BY 1 ORDER BY canon_url""".stripMargin)),
+
+    // ANCHOR-TEXT aggregation — the classic link-signal op (search and
+    // web-corpus pipelines aggregate the anchor text of a page's
+    // in-links as an external description of the page): per target,
+    // total in-links, distinct anchors, and the top anchor (most
+    // frequent, ties to the lexicographically smallest). Links are
+    // synthesized 3 per source doc with a mix of generic anchors
+    // ("click here"…) and page-specific text prefixes, hash-spread over
+    // a small dst space so real fan-in exists. Scale shape: first a
+    // (dst, anchor) groupBy whose map-side partials absorb the
+    // celebrity-anchor skew ("click here" at crawl scale is one of the
+    // hottest keys there is), then dst-partitioned windows over the
+    // already-aggregated (dst, anchor) rows — never over raw links.
+    QueryDef(
+      "q_anchor_text",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val links = Tables.t(s, d, "documents")
+          .select(col("doc_id"), lower(col("text")).as("lt"),
+            explode(expr("sequence(0, 2)")).as("slot"))
+          .select(
+            pmod(col("doc_id") * 2654435761L + col("slot") * 40503L,
+              lit(97L)).as("dst_id"),
+            when(pmod(col("doc_id") + col("slot"), lit(4)) === 0,
+              lit("click here"))
+              .when(pmod(col("doc_id") + col("slot"), lit(4)) === 1,
+                lit("read more"))
+              .when(pmod(col("doc_id") + col("slot"), lit(4)) === 2,
+                lit("homepage"))
+              .otherwise(substring(col("lt"), 1, 10)).as("anchor"))
+        val perAnchor = links.groupBy("dst_id", "anchor")
+          .agg(count(lit(1)).as("cnt"))
+        val byDst = Window.partitionBy("dst_id")
+        perAnchor
+          .withColumn("rnk", row_number().over(
+            byDst.orderBy(col("cnt").desc, col("anchor"))))
+          .withColumn("n_links", sum("cnt").over(byDst))
+          .withColumn("n_anchors", count(lit(1)).over(byDst))
+          .filter(col("rnk") === 1)
+          .select(col("dst_id"), col("n_links"), col("n_anchors"),
+            col("anchor").as("top_anchor"), col("cnt").as("top_cnt"))
+          .orderBy("dst_id")
+      },
+      Some("""WITH lk AS (SELECT
+             |    (doc_id * 2654435761 + slot * 40503) % 97 AS dst_id,
+             |    CASE (doc_id + slot) % 4 WHEN 0 THEN 'click here'
+             |      WHEN 1 THEN 'read more' WHEN 2 THEN 'homepage'
+             |      ELSE substr(lower(text), 1, 10) END AS anchor
+             |  FROM documents, (SELECT unnest(range(0, 3)) AS slot)),
+             |pa AS (SELECT dst_id, anchor, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lk GROUP BY dst_id, anchor),
+             |rk AS (SELECT dst_id, anchor, cnt,
+             |    row_number() OVER (PARTITION BY dst_id
+             |      ORDER BY cnt DESC, anchor) AS rnk,
+             |    CAST(sum(cnt) OVER (PARTITION BY dst_id) AS BIGINT)
+             |      AS n_links,
+             |    CAST(count(*) OVER (PARTITION BY dst_id) AS BIGINT)
+             |      AS n_anchors
+             |  FROM pa)
+             |SELECT dst_id, n_links, n_anchors, anchor AS top_anchor,
+             |  cnt AS top_cnt
+             |FROM rk WHERE rnk = 1 ORDER BY dst_id""".stripMargin)),
 
     // BM25 top-k retrieval (integer-scaled, rank-exact): per-doc term
     // frequencies + doc length in one scan, corpus stats (N, avgdl,
@@ -290,7 +400,12 @@ object WebText {
     // into a 100-page hot head (a real web graph's celebrity skew — a
     // bare affine map would be a bijection per link slot, uniform
     // in-degree, and the rank a trivial fixed point), the rest
-    // multiplicative-hash spread. All arithmetic in BIGINT fixed-point
+    // multiplicative-hash spread. The synthetic dst space assumes
+    // doc_ids are 0-based contiguous (dst = hash % n lands on an
+    // existing doc) — with a sparse id space those dsts would miss
+    // `nodes` and their rank mass drop at the LinkRank left join (a
+    // documented LinkRank semantic, mirrored by the oracle either way).
+    // All arithmetic in BIGINT fixed-point
     // (scale 1e6, contributions rank DIV outdeg, damping 0.85 as ·850
     // DIV 1000) so five chained DuckDB CTEs reproduce the ranks
     // bit-for-bit.

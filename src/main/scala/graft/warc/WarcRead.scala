@@ -3,16 +3,26 @@ package graft.warc
 import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.time.Instant
+import java.util.concurrent.atomic.AtomicLong
 import java.util.zip.GZIPInputStream
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** One parsed WARC record. `tsUs` is WARC-Date as epoch microseconds
-  * (WARC/1.0 dates are second-granular). */
+  * (WARC/1.0 dates are second-granular). `payload` is the raw record
+  * block exactly as archived; for `application/http` records (the
+  * Common-Crawl production framing, where the block is a full HTTP
+  * message) `httpStatus` carries the parsed status code (0 for HTTP
+  * requests and for non-HTTP records) and `body` the bytes after the
+  * header/body CRLFCRLF split — for every other record `body` aliases
+  * `payload` and downstream code can always extract from `body`. */
 final case class WarcRecord(
     url: String, tsUs: Long, warcType: String, recordId: String,
-    payload: Array[Byte])
+    contentType: String, httpStatus: Int,
+    payload: Array[Byte], body: Array[Byte])
 
 /** Distributed WARC scan (ISO 28500) — the web-archive counterpart of
   * [[graft.pbf.PbfRead]], same two-mode design:
@@ -26,16 +36,28 @@ final case class WarcRecord(
   *    rediscovered in parallel block ranges by resyncing on the
   *    `WARC/1.0\r\n` signature, each candidate CHAIN-VALIDATED (its own
   *    record parses AND the following position is EOF or another
-  *    well-formed record). A payload embedding two consecutive
-  *    well-formed records could alias — the documented residual risk of
-  *    any resync scheme over an unframed text container; the `.gz`
-  *    layout below is the exact-at-scale form;
+  *    well-formed record), then EXTENT-DEDUPED: a per-file ordered scan
+  *    drops every candidate that starts strictly inside the extent of a
+  *    previously KEPT record. Because every false candidate lies inside
+  *    some true record's payload and every true start chain-validates,
+  *    the kept set is exactly the true record sequence — the resync
+  *    index is EXACT for arbitrary payloads (including payloads that
+  *    embed complete well-formed records). The dedup scan touches only
+  *    (offset, end) pointer pairs, O(records · 16 B) through one sorted
+  *    partition per file — the gz layout below stays the preferred form
+  *    at extreme scale because it needs no scan at all;
   *  - `.warc.gz` (every record its own gzip member — the Common-Crawl
   *    production layout): one task per FILE, streaming member decode.
   *    At 100 TB a crawl ships ~100k ≈1 GB shards, so file-level
   *    parallelism saturates any cluster without in-file splitting; the
   *    multi-member stream is parsed as one concatenated record
   *    sequence.
+  *
+  * Pointer decode opens ONE stream per (file, consecutive pointer run)
+  * — pointers are range-partitioned and sorted, so a partition's
+  * records are decoded sequentially off a single readahead stream,
+  * seeking only across gaps (never one open per record — on a DFS that
+  * would be a namenode request storm).
   */
 object WarcRead {
 
@@ -44,6 +66,12 @@ object WarcRead {
   def DistributedScanThreshold: Long =
     sys.props.get("graft.warc.distScanThreshold").map(_.toLong)
       .getOrElse(256L << 20)
+
+  /** Per-JVM count of filesystem opens performed by the plain-pointer
+    * DECODE phase (test instrumentation: specs assert opens scale with
+    * file-runs, not records; meaningful in local mode where executors
+    * share the JVM). */
+  private[warc] val decodeOpens = new AtomicLong(0L)
 
   private[warc] def parseDate(s: String): Long = {
     val i = Instant.parse(s)
@@ -81,6 +109,37 @@ object WarcRead {
     out
   }
 
+  private val HttpStatusRe = """^HTTP/\d\.\d (\d{3})""".r
+
+  /** Split an `application/http` record block into (status, body) at
+    * the first CRLFCRLF (RFC 7230 message framing). Status is the
+    * 3-digit response code, or 0 for a request message; obs-fold
+    * (continuation) header lines are rejected loudly — they are
+    * deprecated by RFC 7230 and silently merging them would corrupt
+    * byte-exact re-archiving. */
+  private[warc] def splitHttp(payload: Array[Byte]): (Int, Array[Byte]) = {
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') at = i
+      i += 1
+    }
+    require(at >= 0, "application/http payload has no header/body CRLFCRLF split")
+    val lines = new String(payload, 0, at, UTF_8).split("\r\n", -1)
+    val status = HttpStatusRe.findFirstMatchIn(lines(0)) match {
+      case Some(m) => m.group(1).toInt
+      case None =>
+        require(lines(0).contains(" HTTP/"),
+          s"not an HTTP message start line: '${lines(0)}'")
+        0 // request message (e.g. CC 'request' records)
+    }
+    for (l <- lines.iterator.drop(1))
+      require(l.nonEmpty && l.charAt(0) != ' ' && l.charAt(0) != '\t',
+        s"folded HTTP header line rejected (RFC 7230 obs-fold): '$l'")
+    (status, java.util.Arrays.copyOfRange(payload, at + 4, payload.length))
+  }
+
   /** Parse ONE record at the stream position; None at clean EOF.
     * Throws on any malformation (corrupt archives fail loudly — an
     * archive is a source of truth, not a best-effort feed). */
@@ -102,12 +161,19 @@ object WarcRead {
     val payload = readFully(in, len)
     require(readLine(in) == "" && readLine(in) == "",
       "missing WARC record terminator")
+    val ctype = h.getOrElse("content-type", "")
+    val (status, body) =
+      if (ctype.startsWith("application/http")) splitHttp(payload)
+      else (0, payload)
     Some(WarcRecord(
       url = h.getOrElse("warc-target-uri", ""),
       tsUs = h.get("warc-date").map(parseDate).getOrElse(0L),
       warcType = h.getOrElse("warc-type", ""),
       recordId = h.getOrElse("warc-record-id", ""),
-      payload = payload))
+      contentType = ctype,
+      httpStatus = status,
+      payload = payload,
+      body = body))
   }
 
   /** All records of one (possibly multi-member gzip) stream. */
@@ -173,48 +239,101 @@ object WarcRead {
 
   private val Sig = "WARC/1.0\r\n".getBytes(UTF_8)
 
-  /** Candidate record starts in [from, to) of one file: signature scan
-    * + chain validation (this record parses AND the next position is a
-    * record start or clean EOF). */
+  /** Hard per-task range cap: bounds scan time per task independent of
+    * file size (a 1 TB plain shard at parallelism 32 would otherwise
+    * hand each task ~8 GB ranges). */
+  private val MaxResyncStep = 128L << 20
+
+  /** Rolling scan-buffer size (the range is streamed through this
+    * fixed window — per-task heap is O(1 MB) regardless of range
+    * length, never a full-range allocation). */
+  private val ScanChunk = 1 << 20
+
+  /** Validated candidate record starts in [from, to) of one file:
+    * signature scan with a rolling buffer + chain validation (this
+    * record parses AND the next position is a record start or clean
+    * EOF). Returns (start, end) extents; one scan stream + one shared
+    * validation stream per call — opens never scale with records. */
   private[warc] def resyncRange(fs: FileSystem, path: String, from: Long,
-      to: Long): Seq[Long] = {
+      to: Long): Seq[(Long, Long)] = {
     val in = fs.open(new Path(path))
+    val vin = fs.open(new Path(path))
     try {
-      // window covers signatures straddling the range end
       in.seek(from)
-      val winLen = (to - from + Sig.length - 1).toInt
-      val win = new Array[Byte](winLen)
-      var got = 0
-      var k = 0
-      while (got < winLen && k >= 0) {
-        k = in.read(win, got, winLen - got)
-        if (k > 0) got += k
-      }
-      val hits = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var i = 0
-      while (i <= got - Sig.length) {
-        if (win(i) == 'W' && win.startsWith(Sig, i)) {
-          val off = from + i
-          if (validatesAt(fs, path, off)) hits += off
+      val buf = new Array[Byte](ScanChunk + Sig.length - 1)
+      var base = from // absolute offset of buf(0)
+      var len = 0     // valid bytes in buf
+      def fill(): Unit = {
+        var k = 0
+        while (len < buf.length && k >= 0) {
+          k = in.read(buf, len, buf.length - len)
+          if (k > 0) len += k
         }
-        i += 1
+      }
+      fill()
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      var done = false
+      while (!done && base + i < to) {
+        if (i > len - Sig.length) {
+          if (len < buf.length) done = true // EOF: no full signature left
+          else {
+            // slide: keep the (Sig-1)-byte overlap, refill the window
+            System.arraycopy(buf, len - (Sig.length - 1), buf, 0, Sig.length - 1)
+            base += len - (Sig.length - 1)
+            len = Sig.length - 1
+            i = 0
+            fill()
+            if (len < Sig.length) done = true
+          }
+        } else {
+          if (buf(i) == 'W' && buf.startsWith(Sig, i)) {
+            val off = base + i
+            validateEnd(vin, off).foreach(end => hits += ((off, end)))
+          }
+          i += 1
+        }
       }
       hits.toSeq
-    } finally in.close()
+    } finally { in.close(); vin.close() }
   }
 
-  private def validatesAt(fs: FileSystem, path: String, off: Long): Boolean = {
-    val in = fs.open(new Path(path))
+  /** Chain validation on a SHARED seekable stream: parse the candidate
+    * record (returning its exclusive end offset), then require the
+    * next position to be a well-formed record or clean EOF. */
+  private def validateEnd(vin: FSDataInputStream, off: Long): Option[Long] = {
     try {
-      in.seek(off)
-      val buf = new BufferedInputStream(in, 1 << 16)
-      // chain: this record parses AND the next position is a record
-      // start or clean EOF
-      parseRecord(buf).isDefined &&
-        (try { parseRecord(buf); true }
-         catch { case scala.util.control.NonFatal(_) => false })
-    } catch { case scala.util.control.NonFatal(_) => false }
-    finally in.close()
+      vin.seek(off)
+      val cnt = new CountingInputStream(new BufferedInputStream(
+        new NonClosingStream(vin), 1 << 16))
+      if (parseRecord(cnt).isEmpty) return None
+      val end = off + cnt.count
+      parseRecord(cnt) // next position must parse (or be clean EOF)
+      Some(end)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Guards the shared validation stream from wrapper close(). */
+  private final class NonClosingStream(under: InputStream) extends InputStream {
+    override def read(): Int = under.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      under.read(b, off, len)
+    override def close(): Unit = ()
+  }
+
+  /** Per-file extent dedup over chain-validated candidates: an ordered
+    * scan keeping a candidate iff it starts at/after the running end of
+    * the KEPT chain. Every false candidate lies strictly inside a true
+    * record's extent and every true record chain-validates, so the kept
+    * set is exactly the true sequence (the dropped candidates' own —
+    * possibly lying — extents never poison the chain because only KEPT
+    * extents advance it). */
+  private[warc] def extentDedup(cands: Iterator[(Long, Long)]): Iterator[Long] = {
+    var keptEnd = 0L
+    cands.flatMap { case (off, end) =>
+      if (off >= keptEnd) { keptEnd = end; Iterator.single(off) }
+      else Iterator.empty
+    }
   }
 
   // ------------------------------------------------------------- reads
@@ -244,14 +363,16 @@ object WarcRead {
         }
 
     // plain shards: exact pointer index (driver walk below the
-    // threshold, parallel resync above — the pointer set itself stays
-    // distributed; nothing record-proportional ever lands on the driver)
+    // threshold, parallel resync + extent dedup above — the pointer set
+    // itself stays distributed; nothing record-proportional ever lands
+    // on the driver)
     val ptrDss: Seq[Dataset[(String, Long)]] = plain.map { case (f, len) =>
       if (len < DistributedScanThreshold)
         spark.createDataset(scanOffsets(spark, f).map(o => (f, o)))
       else {
-        val step = math.max(1L << 20,
-          len / (spark.sparkContext.defaultParallelism * 4L))
+        val step = math.min(MaxResyncStep,
+          math.max(1L << 20,
+            len / (spark.sparkContext.defaultParallelism * 4L)))
         val ranges = (0L until len by step)
           .map(s => (s, math.min(len, s + step)))
         spark.createDataset(ranges).repartition(ranges.size)
@@ -259,25 +380,44 @@ object WarcRead {
             val p = new Path(f)
             val fs = FileSystem.get(p.toUri, conf.value)
             rs.flatMap { case (a, b) => resyncRange(fs, f, a, b) }
-          }.map(o => (f, o))
+          }
+          // exact extent dedup needs the file's candidates in one
+          // ordered pass: one sorted partition per file, pointers only
+          .repartition(1)
+          .sortWithinPartitions("_1")
+          .mapPartitions(extentDedup)
+          .map(o => (f, o))
       }
     }
     val plainDs: Dataset[WarcRecord] = ptrDss.reduceOption(_ union _)
-      .map(_.repartition(spark.sparkContext.defaultParallelism)
+      .map(_.repartitionByRange(spark.sparkContext.defaultParallelism,
+          col("_1"), col("_2"))
+        .sortWithinPartitions("_1", "_2")
         .mapPartitions { it =>
+          // one open stream per (file, consecutive run): sequential
+          // decode, seek only across gaps, close on path change / task end
           var curPath: String = null
-          var fs: FileSystem = null
-          it.toSeq.sortBy(x => (x._1, x._2)).iterator.map { case (f, off) =>
+          var raw: FSDataInputStream = null
+          var in: CountingInputStream = null
+          var base = 0L // absolute offset where `in` started
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => if (raw != null) raw.close()))
+          it.map { case (f, off) =>
             if (f != curPath) {
+              if (raw != null) raw.close()
+              val p = new Path(f)
+              raw = FileSystem.get(p.toUri, conf.value).open(p)
+              decodeOpens.incrementAndGet()
               curPath = f
-              fs = FileSystem.get(new Path(f).toUri, conf.value)
+              raw.seek(off)
+              in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+              base = off
+            } else if (base + in.count != off) { // gap: seek, rebuild buffer
+              raw.seek(off)
+              in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+              base = off
             }
-            val in = fs.open(new Path(f))
-            try {
-              in.seek(off)
-              parseRecord(new BufferedInputStream(in, 1 << 16))
-                .getOrElse(sys.error(s"empty record at $f:$off"))
-            } finally in.close()
+            parseRecord(in).getOrElse(sys.error(s"empty record at $f:$off"))
           }
         })
       .getOrElse(spark.emptyDataset[WarcRecord])

@@ -21,8 +21,15 @@ import org.apache.spark.sql.DataFrame
   * its own gzip member, so member boundaries are also record boundaries
   * and a sequential reader can stream a shard without ever resyncing.
   * Records are fully deterministic (fixed warcinfo date, record IDs a
-  * SHA-256 of the target URI), so identical input partitions produce
-  * byte-identical files at any parallelism.
+  * SHA-256 over (target URI, capture time, payload digest) — unique per
+  * capture as ISO 28500 requires, yet reproducible at any parallelism),
+  * so identical input partitions produce byte-identical files.
+  *
+  * With `http = true` each payload is framed as a full HTTP/1.1
+  * response message (status line + headers + CRLFCRLF + body) and the
+  * record's Content-Type becomes `application/http; msgtype=response` —
+  * the exact layout real Common-Crawl `response` records use; the
+  * reader surfaces the parsed status and body columns.
   *
   * Expected input columns: `url` STRING (no CR/LF — enforced),
   * `ts_us` BIGINT (epoch microseconds; WARC/1.0 dates are
@@ -34,9 +41,17 @@ object WarcWrite {
 
   private[warc] val WarcInfoDate = "2000-01-01T00:00:00Z"
 
-  private[warc] def recordId(url: String): String = {
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(url.getBytes(UTF_8)).take(8).map("%02x".format(_)).mkString
+  /** Globally unique yet deterministic record ID: SHA-256 over the
+    * (url, capture micros, payload digest) triple — recrawls of one URL
+    * at different times, or with different bytes, never collide. */
+  private[warc] def recordId(url: String, tsUs: Long,
+      payload: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(url.getBytes(UTF_8))
+    md.update(0.toByte)
+    md.update(java.nio.ByteBuffer.allocate(8).putLong(tsUs).array())
+    md.update(java.security.MessageDigest.getInstance("SHA-256").digest(payload))
+    val h = md.digest().take(8).map("%02x".format(_)).mkString
     s"<urn:graft:$h>"
   }
 
@@ -71,13 +86,27 @@ object WarcWrite {
       "Content-Type" -> "application/warc-fields"), body)
   }
 
-  private[warc] def response(url: String, tsUs: Long, payload: Array[Byte]): Array[Byte] = {
+  /** Deterministic HTTP/1.1 response framing around a body. */
+  private[warc] def httpWrap(body: Array[Byte]): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
+    val out = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(body, 0, out, head.length, body.length)
+    out
+  }
+
+  private[warc] def response(url: String, tsUs: Long, payload: Array[Byte],
+      http: Boolean = false): Array[Byte] = {
     require(!url.exists(c => c == '\r' || c == '\n'), s"CR/LF in URI: $url")
+    val (ctype, block) =
+      if (http) ("application/http; msgtype=response", httpWrap(payload))
+      else ("application/octet-stream", payload)
     encodeRecord("response", Seq(
-      "WARC-Record-ID" -> recordId(url),
+      "WARC-Record-ID" -> recordId(url, tsUs, payload),
       "WARC-Date" -> formatDate(tsUs),
       "WARC-Target-URI" -> url,
-      "Content-Type" -> "application/octet-stream"), payload)
+      "Content-Type" -> ctype), block)
   }
 
   /** Each record compressed as its OWN gzip member (CC layout); plain
@@ -89,8 +118,11 @@ object WarcWrite {
       gz.write(rec); gz.finish() // finish, NOT close: keep the part stream open
     }
 
-  /** Write `pages` (url, ts_us, payload) as a WARC part directory. */
-  def write(pages: DataFrame, outDir: String, gzip: Boolean = false): Unit = {
+  /** Write `pages` (url, ts_us, payload) as a WARC part directory.
+    * `http = true` frames every payload as an HTTP/1.1 response message
+    * (the real Common-Crawl `response` layout). */
+  def write(pages: DataFrame, outDir: String, gzip: Boolean = false,
+      http: Boolean = false): Unit = {
     val spark = pages.sparkSession
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -108,7 +140,7 @@ object WarcWrite {
         emit(out, warcinfo(), gzip)
         for (r <- it)
           emit(out, response(r.getString(0), r.getLong(1),
-            r.getAs[Array[Byte]](2)), gzip)
+            r.getAs[Array[Byte]](2), http), gzip)
       } finally out.close()
       val dst = new Path(dir, f"part-$pid%05d.$ext")
       fs.delete(dst, false)

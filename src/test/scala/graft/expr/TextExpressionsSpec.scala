@@ -80,13 +80,44 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fast == decl)
   }
 
+  test("tokenize_count: greedy longest-match over the fixed vocab") {
+    def tc(s: String): Long = texts.take(1).toDF("ignore")
+      .select(TextFunctions.tokenize_count(lit(s))).collect().head.getLong(0)
+    assert(tc("") === 0L)            // empty text → no tokens
+    assert(tc("   ") === 0L)         // spaces are separators, not tokens
+    assert(tc("the") === 1L)         // whole-word vocab hit
+    assert(tc("mention") === 2L)     // longest wins: "ment"(4) + "ion"(3)
+    assert(tc("theory") === 3L)      // "the" + "or" + "y" (greedy, not optimal)
+    assert(tc("zzz") === 3L)         // unmatched chars → single-char tokens
+    assert(tc("the the") === 2L)     // per-word; the space contributes 0
+    assert(tc("xtion") === 2L)       // "x" + "tion": fallback then 4-gram
+    // greedy is strictly per-position: "ingest" → "ing"(3) + "est"(3)
+    assert(tc("ingest") === 2L)
+    // kernel ≡ a hand-rolled per-word reference on real corpus-ish text
+    val ref = "the government mentioned that tokenization matters for training"
+    val expect = ref.split(" ", -1).map { w =>
+      var i = 0; var c = 0L
+      while (i < w.length) {
+        val step =
+          if (i + 4 <= w.length && graft.expr.TokRT.Vocab4.contains(w.substring(i, i + 4))) 4
+          else if (i + 3 <= w.length && graft.expr.TokRT.Vocab3.contains(w.substring(i, i + 3))) 3
+          else if (i + 2 <= w.length && graft.expr.TokRT.Vocab2.contains(w.substring(i, i + 2))) 2
+          else 1
+        c += 1; i += step
+      }
+      c
+    }.sum
+    assert(tc(ref) === expect)
+  }
+
   test("kernels agree between codegen and interpreted eval") {
-    def run(): Seq[(Seq[Long], Long)] = {
+    def run(): Seq[(Seq[Long], Long, Long)] = {
       texts.toDF("text")
         .select(TextFunctions.minhash_sig(
           TextFunctions.shingle_hashes(lower($"text"))).as("sig"),
-          TextFunctions.simhash16(lower($"text")).as("sh"))
-        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1))).toSeq
+          TextFunctions.simhash16(lower($"text")).as("sh"),
+          TextFunctions.tokenize_count(lower($"text")).as("tok"))
+        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1), r.getLong(2))).toSeq
     }
     // factoryMode (not the wholeStage flag): CODEGEN_ONLY + fallback
     // off makes a broken doGenCode THROW instead of silently falling

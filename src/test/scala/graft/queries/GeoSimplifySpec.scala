@@ -33,6 +33,31 @@ class GeoSimplifySpec extends AnyFunSuite {
     assert(kept === Seq(0L, 3L, 4L))
   }
 
+  test("vwFixedPoint iterates genuinely beyond one pass, then is idempotent") {
+    // Shelf-notch line: period-10 shelves at y=1000 (seq%10 ∈ {3,4,6,7})
+    // flanking a baseline notch (seq%10 = 5, y=0), x = 1000·seq.
+    // At eps=1.5e6: shelf/ramp vertices have |2A| = 1e6 < eps → dropped
+    // in pass 1; notches have |2A| = 2e6 ≥ eps → SURVIVE pass 1. Once
+    // the shelves are gone the notches are collinear with the baseline
+    // endpoints (all y=0), so pass 2 drops them — a drop that exists
+    // only because the neighbours changed. Fixed point = endpoints.
+    val line = (0 until 21).map { i =>
+      val y = if (Set(3, 4, 6, 7)(i % 10)) 1000L else 0L
+      (1L, i.toLong, i * 1000L, y)
+    }.toDF("line_id", "seq", "x", "y")
+    val onePass = Geo.vwFilter(line, eps = 1500000L)
+      .orderBy("seq").collect().map(_.getLong(1)).toSeq
+    assert(onePass === Seq(0L, 5L, 15L, 20L),
+      "pass 1 must keep the notches — the multi-pass premise")
+    val fixed = Geo.vwFixedPoint(line, eps = 1500000L)
+    val fixedSeqs = fixed.orderBy("seq").collect().map(_.getLong(1)).toSeq
+    assert(fixedSeqs === Seq(0L, 20L),
+      "pass 2 must drop the now-collinear notches")
+    val again = Geo.vwFilter(fixed, eps = 1500000L)
+      .orderBy("seq").collect().map(_.getLong(1)).toSeq
+    assert(again === fixedSeqs, "fixed point must be idempotent under vwFilter")
+  }
+
   test("lineCover: axis-aligned segment covers the expected cell run") {
     val segs = Seq((1L, 0L, 0L, 8L, 0L)).toDF("event_id", "x0", "y0", "x1", "y1")
     val cells = Geo.lineCover(segs)

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Row-level semantics of the corpus-filtering operators added in r7
+  * (the gates value-check whole results against DuckDB; these pin the
+  * semantic rules on the sf0.001 fixture). */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_para_dedup: boilerplate survives in exactly one document") {
+    val r = graft.SparkEntry.queries("q_para_dedup")(spark, sf)
+      .localCheckpoint()
+    val boiler = "copyright boilerplate all rights reserved"
+    val carriers = r.filter(col("text_dedup").contains(boiler)).collect()
+    assert(carriers.length === 1, "first occurrence only")
+    assert(carriers.head.getLong(0) === 0L, "kept in the min doc_id")
+    // every doc accounts for all its paragraphs: 3 when doc_id%5=0
+    // (promo line planted), else 2
+    val bad = r.filter(
+      col("n_kept") + col("n_dropped") =!=
+        when(pmod(col("doc_id"), lit(5)) === 0, 3L).otherwise(2L)).count()
+    assert(bad === 0)
+    // every doc keeps its own (unique) content paragraph
+    assert(r.filter(col("n_kept") === 0).count() === 0)
+  }
+
+  test("q_ppl_filter: keep flag is exactly the threshold rule, OOV raises the score") {
+    val r = graft.SparkEntry.queries("q_ppl_filter")(spark, sf)
+      .localCheckpoint()
+    val bad = r.filter(
+      col("kept") =!= (col("nll_micro") < TextOps.PplKeepBelow).cast("int"))
+      .count()
+    assert(bad === 0)
+    // scores live between the best vocab word and the OOV penalty
+    val mn = TextOps.PplVocab.map(_._2).min
+    assert(r.filter(col("nll_micro") < mn).count() === 0)
+    assert(r.filter(col("nll_micro") > TextOps.PplOov).count() === 0)
+    // the corpus genuinely splits (both classes present)
+    assert(r.filter(col("kept") === 1).count() > 0)
+    assert(r.filter(col("kept") === 0).count() > 0)
+  }
+
+  test("ppl scoring: hand-checked doc against the fixed model") {
+    // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
+    // over 4 words → 3550000 (< threshold → kept)
+    val vocab = broadcast(TextOps.PplVocab.toDF("w", "nlp"))
+    val got = Seq((1L, "a the join zzz")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .join(vocab, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("nlp"), lit(TextOps.PplOov))).as("s"))
+      .select(expr("s DIV n")).head().getLong(0)
+    assert(got === 3550000L)
+  }
+}

@@ -107,6 +107,19 @@ class WebTextSpec extends AnyFunSuite {
     assert(r.filter(col("rank_fp") > LinkRank.Scale).count() > 0)
   }
 
+  test("q_anchor_text: link mass conserved, top anchor bounded by total") {
+    val r = graft.SparkEntry.queries("q_anchor_text")(spark, sf)
+      .localCheckpoint()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val sums = r.agg(sum("n_links")).head().getLong(0)
+    assert(sums === 3L * docs, "every synthesized link lands on some dst")
+    assert(r.filter(col("top_cnt") > col("n_links")).count() === 0)
+    assert(r.filter(col("n_anchors") < 1).count() === 0)
+    // generic anchors genuinely dominate somewhere (the skew premise)
+    assert(r.filter(col("top_anchor").isin(
+      "click here", "read more", "homepage")).count() > 0)
+  }
+
   test("q_grouping_sets: grand-total row equals table count") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val total = graft.SparkEntry.queries("q_grouping_sets")(spark, sf)

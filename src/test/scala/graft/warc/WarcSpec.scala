@@ -72,13 +72,19 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  private def withResync[T](body: => T): T = {
+    val prev = sys.props.put("graft.warc.distScanThreshold", "1")
+    try body
+    finally prev match {
+      case Some(v) => sys.props.put("graft.warc.distScanThreshold", v)
+      case None => sys.props.remove("graft.warc.distScanThreshold")
+    }
+  }
+
   test("resync rejects a single embedded well-formed record (chain validation)") {
     // a payload that IS a complete valid record: its start inside the
     // outer payload parses, but the chain step then lands on the outer
-    // record's terminator and fails -> candidate rejected. (Two
-    // consecutive embedded records could alias - the documented
-    // residual risk of resync over an unframed container; the gz
-    // layout is the exact form.)
+    // record's terminator and fails -> candidate rejected.
     val inner = WarcWrite.response("https://evil.test/inner",
       1700000009000000L, "inner".getBytes(UTF_8))
     val rows = Seq(
@@ -86,14 +92,103 @@ class WarcSpec extends AnyFunSuite {
       ("https://a.test/tail", 1700000002000000L, "tail".getBytes(UTF_8)))
     val dir = Files.createTempDirectory("warcspec").toString
     WarcWrite.write(rows.toDF("url", "ts_us", "payload").coalesce(1), dir)
-    val prev = sys.props.put("graft.warc.distScanThreshold", "1")
-    try {
+    withResync {
       val got = readBack(dir).map(_._1)
       assert(got === Seq("https://a.test/outer", "https://a.test/tail"))
-    } finally prev match {
-      case Some(v) => sys.props.put("graft.warc.distScanThreshold", v)
-      case None => sys.props.remove("graft.warc.distScanThreshold")
     }
+  }
+
+  test("resync is exact on TWO consecutive embedded records (extent dedup)") {
+    // two complete back-to-back valid records inside one payload: the
+    // first embedded start chain-validates (its next position is the
+    // second embedded record), which used to alias. The per-file extent
+    // dedup drops both because they start inside the outer record's
+    // kept extent.
+    val inner1 = WarcWrite.response("https://evil.test/in1",
+      1700000008000000L, "in1".getBytes(UTF_8))
+    val inner2 = WarcWrite.response("https://evil.test/in2",
+      1700000009000000L, "in2".getBytes(UTF_8))
+    val rows = Seq(
+      ("https://a.test/outer", 1700000001000000L, inner1 ++ inner2),
+      ("https://a.test/tail", 1700000002000000L, "tail".getBytes(UTF_8)))
+    val dir = Files.createTempDirectory("warcspec").toString
+    WarcWrite.write(rows.toDF("url", "ts_us", "payload").coalesce(1), dir)
+    withResync {
+      val got = readBack(dir)
+      assert(got.map(_._1) === Seq("https://a.test/outer", "https://a.test/tail"))
+      assert(got.head._3 === (inner1 ++ inner2).toSeq) // payload byte-exact
+    }
+  }
+
+  test("pointer decode opens one stream per file-run, not per record") {
+    val n = 200
+    val df = (0 until n)
+      .map(i => (f"https://run.test/$i%04d", 1700000000000000L + i,
+        s"payload $i".getBytes(UTF_8)))
+      .toDF("url", "ts_us", "payload").coalesce(1)
+    val dir = Files.createTempDirectory("warcspec").toString
+    WarcWrite.write(df, dir)
+    WarcRead.decodeOpens.set(0L)
+    val got = readBack(dir)
+    assert(got.size === n)
+    val opens = WarcRead.decodeOpens.get()
+    // bounded by decode partitions (each holds one contiguous run of
+    // ONE file), never by record count
+    assert(opens >= 1L && opens <= spark.sparkContext.defaultParallelism.toLong,
+      s"decode opened $opens streams for $n records")
+  }
+
+  test("http framing: status/body parsed, archive stays byte-exact") {
+    val body = "<html><body>hëllo</body></html>".getBytes(UTF_8)
+    val dir = Files.createTempDirectory("warcspec").toString
+    WarcWrite.write(Seq(("https://h.test/1", 1700000001000000L, body))
+      .toDF("url", "ts_us", "payload").coalesce(1), dir, gzip = false, http = true)
+    val r = WarcRead.records(spark, dir)
+      .filter(col("warcType") === "response").collect().head
+    assert(r.contentType === "application/http; msgtype=response")
+    assert(r.httpStatus === 200)
+    assert(r.body.toSeq === body.toSeq)
+    val full = new String(r.payload, UTF_8)
+    assert(full.startsWith("HTTP/1.1 200 OK\r\n"))
+    assert(full.contains(s"Content-Length: ${body.length}\r\n"))
+  }
+
+  test("http framing: folded (obs-fold) header lines are rejected loudly") {
+    val msg = ("HTTP/1.1 200 OK\r\nX-Long: part one\r\n continued\r\n\r\nbody")
+      .getBytes(UTF_8)
+    val rec = WarcWrite.encodeRecord("response", Seq(
+      "WARC-Record-ID" -> "<urn:graft:folded>",
+      "WARC-Date" -> "2023-11-14T22:13:21Z",
+      "WARC-Target-URI" -> "https://h.test/folded",
+      "Content-Type" -> "application/http; msgtype=response"), msg)
+    val in = new java.io.ByteArrayInputStream(rec)
+    val ex = intercept[IllegalArgumentException](WarcRead.parseRecord(in))
+    assert(ex.getMessage.contains("folded"))
+  }
+
+  test("http framing: request messages parse with status 0") {
+    val msg = "GET /x HTTP/1.1\r\nHost: h.test\r\n\r\n".getBytes(UTF_8)
+    val rec = WarcWrite.encodeRecord("request", Seq(
+      "WARC-Record-ID" -> "<urn:graft:req>",
+      "WARC-Date" -> "2023-11-14T22:13:21Z",
+      "WARC-Target-URI" -> "https://h.test/x",
+      "Content-Type" -> "application/http; msgtype=request"), msg)
+    val r = WarcRead.parseRecord(new java.io.ByteArrayInputStream(rec)).get
+    assert(r.httpStatus === 0)
+    assert(r.body.isEmpty) // body after CRLFCRLF is empty for this GET
+  }
+
+  test("non-HTTP records pass through untouched (body aliases payload)") {
+    val payload = "raw resource bytes \r\n\r\n not http".getBytes(UTF_8)
+    val rec = WarcWrite.encodeRecord("resource", Seq(
+      "WARC-Record-ID" -> "<urn:graft:res>",
+      "WARC-Date" -> "2023-11-14T22:13:21Z",
+      "WARC-Target-URI" -> "https://h.test/res",
+      "Content-Type" -> "application/octet-stream"), payload)
+    val r = WarcRead.parseRecord(new java.io.ByteArrayInputStream(rec)).get
+    assert(r.warcType === "resource")
+    assert(r.httpStatus === 0)
+    assert(r.body.toSeq === payload.toSeq)
   }
 
   test("WARC-Date truncates to seconds on write and parses back") {
@@ -112,10 +207,17 @@ class WarcSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
-  test("record ids are deterministic functions of the url") {
-    assert(WarcWrite.recordId("https://a.test/1") ===
-      WarcWrite.recordId("https://a.test/1"))
-    assert(WarcWrite.recordId("https://a.test/1") !==
-      WarcWrite.recordId("https://a.test/2"))
+  test("record ids are deterministic AND unique per (url, ts, payload)") {
+    val p = "x".getBytes(UTF_8)
+    assert(WarcWrite.recordId("https://a.test/1", 1L, p) ===
+      WarcWrite.recordId("https://a.test/1", 1L, p))
+    // recrawl of the same URL at a different time → different ID
+    assert(WarcWrite.recordId("https://a.test/1", 1L, p) !==
+      WarcWrite.recordId("https://a.test/1", 2L, p))
+    // same URL+time, different bytes → different ID
+    assert(WarcWrite.recordId("https://a.test/1", 1L, p) !==
+      WarcWrite.recordId("https://a.test/1", 1L, "y".getBytes(UTF_8)))
+    assert(WarcWrite.recordId("https://a.test/1", 1L, p) !==
+      WarcWrite.recordId("https://a.test/2", 1L, p))
   }
 }
