@@ -172,6 +172,40 @@ object TokRT {
     }
     cnt
   }
+
+  /** Token-ID space: vocab entries get their index in the concatenated
+    * (Vocab4 ++ Vocab3 ++ Vocab2) list; single-character fallback
+    * tokens get 1000 + code point (the vocab has < 1000 entries, so the
+    * spaces never collide). Single-sourced into the DuckDB oracle as a
+    * rendered CASE chain. */
+  val VocabIds: Map[String, Int] =
+    (Vocab4 ++ Vocab3 ++ Vocab2).zipWithIndex.toMap
+
+  /** tokenize_ids: the token-ID stream of ONE word (no spaces) under
+    * the same greedy longest-match rule as [[tokenCount]] — what a
+    * training pipeline actually feeds the model. */
+  def tokenIds(word: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
+    var i = 0
+    while (i < n) {
+      var step = 1
+      var id = -1
+      var l = 4
+      while (l >= 2 && step == 1) {
+        if (i + l <= n) {
+          val cand = new String(cps, i, l)
+          if (sets(l).contains(cand)) { step = l; id = VocabIds(cand) }
+        }
+        l -= 1
+      }
+      if (id < 0) id = 1000 + cps(i)
+      out += id
+      i += step
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** str_poly_hash(text) → BIGINT in [0, 1e9+7). Deterministic document
@@ -226,6 +260,20 @@ case class Simhash16Expr(text: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Simhash16Expr = copy(c)
 }
 
+/** tokenize_ids(lowered_word) → ARRAY<INT>: the greedy longest-match
+  * token-ID stream of one word (vocab index, or 1000 + code point for
+  * single-char fallback tokens). */
+case class TokenizeIdsExpr(word: Expression) extends UnaryExpression {
+  override def child: Expression = word
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(w: Any): Any =
+    TokRT.tokenIds(w.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TokRT.tokenIds($c)")
+  override protected def withNewChildInternal(c: Expression): TokenizeIdsExpr = copy(c)
+}
+
 /** tokenize_count(lowered_text) → BIGINT: greedy longest-match subword
   * token count over the fixed vocab (pass text through lower() first). */
 case class TokenizeCountExpr(text: Expression) extends UnaryExpression {
@@ -246,6 +294,8 @@ object TextFunctions {
     column(StrPolyHashExpr(expression(text)))
   def tokenize_count(loweredText: Column): Column =
     column(TokenizeCountExpr(expression(loweredText)))
+  def tokenize_ids(loweredWord: Column): Column =
+    column(TokenizeIdsExpr(expression(loweredWord)))
   def simhash16(loweredText: Column): Column =
     column(Simhash16Expr(expression(loweredText)))
   def shingle_hashes(loweredText: Column): Column =

@@ -66,6 +66,54 @@ object TextOps {
   /** Keep documents whose mean token NLL is below this (micro-nats). */
   private[queries] val PplKeepBelow: Long = 5150000L
 
+  // --------------------------------------------- exact-substring dedup
+
+  /** Positional tokens of the corpus: (doc_id, pos, w). */
+  private def substrToks(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "w")
+
+  /** Duplicated-span START positions (doc_id, pos) of the exact-
+    * substring dedup machinery (Lee et al. 2022 semantics, hash
+    * election instead of a suffix array — see q_substr_dedup): every
+    * non-FIRST occurrence of a 5-token shingle that repeats anywhere in
+    * the corpus. The election side is corpus-sized (one row per
+    * distinct shingle) — never broadcastable, hence the forced
+    * co-partitioned shuffled-hash join. */
+  private def substrDupStarts(toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = toks
+      .withColumn("g", concat_ws(" ", col("w"),
+        lead("w", 1).over(byDoc), lead("w", 2).over(byDoc),
+        lead("w", 3).over(byDoc), lead("w", 4).over(byDoc)))
+      .withColumn("w4", lead("w", 4).over(byDoc))
+      .filter(col("w4").isNotNull)
+      .select(col("doc_id"), col("pos"), sph(col("g")).as("h"),
+        (col("doc_id") * 1000000L + col("pos")).as("occ"))
+    val first = sh.groupBy("h")
+      .agg(min("occ").as("first_occ"), count(lit(1)).as("n_occ"))
+    sh.join(first.hint("shuffle_hash"), "h")
+      .filter(col("n_occ") > 1 && col("occ") =!= col("first_occ"))
+      .localCheckpoint()
+  }
+
+  /** DuckDB replay of [[substrDupStarts]]: CTEs c/tk/sh/fo/dup with
+    * dup = (doc_id, pos) duplicated-span starts. */
+  private def substrDupCtes: String =
+    s"""c AS ($corpusSql),
+       |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM c),
+       |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${ph("array_to_string(toks[i:i+4], ' ')")} AS h,
+       |    doc_id * 1000000 + i - 1 AS occ
+       |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)),
+       |fo AS (SELECT h, min(occ) AS first_occ, count(*) AS n_occ
+       |  FROM sh GROUP BY h),
+       |dup AS (SELECT doc_id, pos FROM sh JOIN fo USING (h)
+       |  WHERE n_occ > 1 AND occ <> first_occ)""".stripMargin
+
   /** THE stopword-count language-ID classifier — one definition for
     * all four sites (Spark q_lang_id / q_corpus_filter and both
     * oracles), so a tweak cannot desynchronize gate and oracle.
@@ -115,6 +163,17 @@ object TextOps {
        |wc AS (SELECT w, cnt FROM tk WHERE pos > len(w)),
        |tc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS bpe_tokens
        |  FROM wd JOIN wc USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB rendering of the greedy token-ID rule (TokRT.tokenIds):
+    * the matched token's id, single-sourced from VocabIds. */
+  private def tokIdCase: String = {
+    import graft.expr.TokRT
+    def arm(l: Int, ws: Seq[String]) = ws.map(w =>
+      s"WHEN substr(w, pos, $l) = '$w' THEN ${TokRT.VocabIds(w)}").mkString(" ")
+    s"""CASE ${arm(4, TokRT.Vocab4)} ${arm(3, TokRT.Vocab3)}
+       | ${arm(2, TokRT.Vocab2)}
+       | ELSE 1000 + unicode(substr(w, pos, 1)) END""".stripMargin
   }
 
   /** k=8 minhash signature as a PER-ROW array expression over the
@@ -243,6 +302,54 @@ object TextOps {
               |  CAST(len(string_split(s.text, ' ')) AS BIGINT) AS n_words
               |FROM src s JOIN tc ON s.doc_id = tc.doc_id
               |ORDER BY s.doc_id""".stripMargin)),
+
+    // TOKEN-ID streams (what a training pipeline actually feeds the
+    // model): per word, the greedy longest-match token IDs — vocab
+    // index for multi-char entries, 1000 + code point for single-char
+    // fallback. Pure per-row expression work (split → codegen
+    // tokenize_ids → posexplode), zero shuffle before the output sort;
+    // the oracle replays the greedy rule as a recursive CTE over the
+    // DISTINCT word set with a single-sourced id CASE, joined back to
+    // the word occurrences. Sliced to doc_id % 16 = 0 to keep the gate
+    // dump bounded — the operator itself is corpus-wide.
+    QueryDef(
+      "q_tokenize_ids",
+      (s, d) => corpus(s, d)
+        .filter(pmod(col("doc_id"), lit(16)) === 0)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+        .toDF("doc_id", "wi", "w")
+        .select(col("doc_id"), col("wi").cast("long").as("wi"),
+          posexplode(TextFunctions.tokenize_ids(col("w"))))
+        .toDF("doc_id", "wi", "j", "tid")
+        .select(col("doc_id"), col("wi"), col("j").cast("long").as("j"),
+          col("tid").cast("long").as("tid"))
+        .orderBy("doc_id", "wi", "j"),
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 16 = 0),
+              |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
+              |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              |        FROM src),
+              |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+              |uw AS (SELECT DISTINCT w FROM wd),
+              |tkr AS (
+              |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS j,
+              |    CAST(0 AS BIGINT) AS tid
+              |  FROM uw
+              |  UNION ALL
+              |  SELECT w,
+              |    pos + CASE WHEN substr(w, pos, 4) IN (${
+                 graft.expr.TokRT.Vocab4.map(w => s"'$w'").mkString(", ")}) THEN 4
+              |      WHEN substr(w, pos, 3) IN (${
+                 graft.expr.TokRT.Vocab3.map(w => s"'$w'").mkString(", ")}) THEN 3
+              |      WHEN substr(w, pos, 2) IN (${
+                 graft.expr.TokRT.Vocab2.map(w => s"'$w'").mkString(", ")}) THEN 2
+              |      ELSE 1 END,
+              |    j + 1,
+              |    CAST($tokIdCase AS BIGINT)
+              |  FROM tkr WHERE pos <= len(w)),
+              |wt AS (SELECT w, j - 1 AS j, tid FROM tkr WHERE j >= 1)
+              |SELECT doc_id, wi, j, tid FROM wd JOIN wt USING (w)
+              |ORDER BY doc_id, wi, j""".stripMargin)),
 
     // language-ID heuristic: scaled stopword scores, deterministic CASE
     QueryDef(
@@ -466,7 +573,10 @@ object TextOps {
           .withColumn("occ", col("doc_id") * 10L + col("idx"))
         val keeper = paras.groupBy("h")
           .agg(min(col("occ")).as("keep_occ"))
-        paras.join(keeper, "h")
+        // the election side scales WITH the corpus (one row per distinct
+        // paragraph) — never broadcastable; Spark byte-underestimates
+        // post-agg sides, so force the co-partitioned shuffled-hash form
+        paras.join(keeper.hint("shuffle_hash"), "h")
           .withColumn("kept", col("occ") === col("keep_occ"))
           .groupBy("doc_id")
           .agg(
@@ -496,6 +606,108 @@ object TextOps {
               |  CAST(count(*) FILTER (WHERE occ <> keep_occ) AS BIGINT) AS n_dropped
               |FROM ph JOIN kp USING (h)
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // EXACT-SUBSTRING span dedup (the token-level "dedup training data"
+    // op of Lee et al. 2022: find ≥k-token substrings that occur more
+    // than once ANYWHERE in the corpus, keep only the first occurrence):
+    // positional 5-token shingle hashes per doc, a global first-
+    // occurrence election per hash, every non-first occurrence of a
+    // repeated shingle marks its 5 positions as duplicated span; the
+    // per-doc report counts covered tokens and the dup per-mille (the
+    // quantity the paper trims). The planted exact-dup docs come out
+    // fully covered, near-dups partially — and natural 5-gram repeats
+    // count too, which is the operator's actual semantics. Scale shape:
+    // one doc-keyed window (tokenize+shingle), one hash groupBy with
+    // map-side partial min/count (the election — hot boilerplate grams
+    // are absorbed map-side), one co-partitioned hash join back, then
+    // doc-keyed aggregates; the suffix-array of the paper is replaced
+    // by the hash election, the standard distributed construction —
+    // never all-pairs, nothing driver-side.
+    QueryDef(
+      "q_substr_dedup",
+      (s, d) => {
+        val dupStarts = substrDupStarts(substrToks(s, d))
+        val covered = dupStarts
+          .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+        val starts = dupStarts.groupBy("doc_id")
+          .agg(count(lit(1)).as("dup_starts"))
+        corpus(s, d)
+          .select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+          .join(starts.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+          .withColumn("dup_milli",
+            expr("covered_tokens * 1000 DIV n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $substrDupCtes,
+              |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered
+              |  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dup)
+              |  GROUP BY doc_id),
+              |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts
+              |  FROM dup GROUP BY doc_id),
+              |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+              |  FROM tk)
+              |SELECT nt.doc_id, nt.n_tokens,
+              |  coalesce(ds.dup_starts, 0) AS dup_starts,
+              |  coalesce(cov.covered, 0) AS covered_tokens,
+              |  coalesce(cov.covered, 0) * 1000 // nt.n_tokens AS dup_milli
+              |FROM nt LEFT JOIN ds USING (doc_id) LEFT JOIN cov USING (doc_id)
+              |ORDER BY nt.doc_id""".stripMargin)),
+
+    // EXACT-SUBSTRING dedup, MATERIALIZED (the paper's actual output —
+    // the trimmed corpus): drop every token inside a duplicated span
+    // (anti-join tokens against the exploded span cover), reassemble
+    // the surviving text per document in position order. Fully covered
+    // docs (the planted exact dups) come out as empty strings — i.e.
+    // removed from the training set. Same scale shape as
+    // q_substr_dedup plus one doc_id+pos anti-join and one doc groupBy.
+    QueryDef(
+      "q_substr_trim",
+      (s, d) => {
+        val toks = substrToks(s, d)
+        val covered = substrDupStarts(toks)
+          .select(col("doc_id"),
+            explode(expr("sequence(pos, pos + 4)")).as("pos"))
+          .distinct()
+        val trimmed = toks
+          .join(covered.hint("shuffle_hash"), Seq("doc_id", "pos"),
+            "left_anti")
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(pos, w))), x -> x.w), ' ')").as("text_trim"),
+            count(lit(1)).as("kept_tokens"))
+        corpus(s, d).select(col("doc_id"),
+            size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+          .join(trimmed.hint("shuffle_hash"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("text_trim"), lit("")).as("text_trim"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $substrDupCtes,
+              |cv AS (SELECT DISTINCT doc_id, p AS pos FROM
+              |  (SELECT doc_id, unnest(range(pos, pos + 5)) AS p FROM dup)),
+              |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+              |  FROM tk, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+              |kt AS (SELECT t.doc_id, t.pos, t.w
+              |  FROM tok t LEFT JOIN cv ON t.doc_id = cv.doc_id AND t.pos = cv.pos
+              |  WHERE cv.pos IS NULL),
+              |tr AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_trim,
+              |    CAST(count(*) AS BIGINT) AS kept_tokens
+              |  FROM kt GROUP BY doc_id),
+              |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk)
+              |SELECT nt.doc_id, coalesce(tr.text_trim, '') AS text_trim,
+              |  coalesce(tr.kept_tokens, 0) AS kept_tokens, nt.n_tokens
+              |FROM nt LEFT JOIN tr USING (doc_id)
+              |ORDER BY nt.doc_id""".stripMargin)),
 
     // PERPLEXITY (unigram-LM) quality filter — the CCNet-style "does a
     // language model like this text" gate: per-token mean negative

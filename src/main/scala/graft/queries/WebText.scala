@@ -42,6 +42,29 @@ object WebText {
     idiv = (a, b) => s"($a // $b)",
     sortJoin = e => s"array_to_string(list_sort(string_split($e, '&')), '&')")
 
+  /** Stage the HTTP-framed WARC archives (plain + CC per-record-gzip)
+    * once per (session, sfDir) — shared by q_warc_http (through-archive
+    * extraction over both layouts) and q_warc_cdx (index + random
+    * access over the gz layout). */
+  private def stagedHttpWarc(s: SparkSession, d: String): (String, String) = {
+    val dir = Staging.dir("warc_http", d)
+    val marker = dir.resolve("_STAGED")
+    val plainDir = dir.resolve("plain").toString
+    val gzDir = dir.resolve("gz").toString
+    if (!java.nio.file.Files.exists(marker)) {
+      val pages = Tables.t(s, d, "documents")
+        .select(
+          concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
+          ((col("doc_id") * 7L + 1700000000L) * 1000000L).as("ts_us"),
+          expr(htmlSyn).cast("binary").as("payload"))
+        .repartition(4, col("url"))
+      WarcWrite.write(pages, plainDir, gzip = false, http = true)
+      WarcWrite.write(pages, gzDir, gzip = true, http = true)
+      java.nio.file.Files.createFile(marker)
+    }
+    (plainDir, gzDir)
+  }
+
   // ---------------------------------------------------------------- HTML
 
   /** Deterministic page markup around each document's text: head noise
@@ -201,21 +224,7 @@ object WebText {
     QueryDef(
       "q_warc_http",
       (s, d) => {
-        val dir = Staging.dir("warc_http", d)
-        val marker = dir.resolve("_STAGED")
-        val plainDir = dir.resolve("plain").toString
-        val gzDir = dir.resolve("gz").toString
-        if (!java.nio.file.Files.exists(marker)) {
-          val pages = Tables.t(s, d, "documents")
-            .select(
-              concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
-              ((col("doc_id") * 7L + 1700000000L) * 1000000L).as("ts_us"),
-              expr(htmlSyn).cast("binary").as("payload"))
-            .repartition(4, col("url"))
-          WarcWrite.write(pages, plainDir, gzip = false, http = true)
-          WarcWrite.write(pages, gzDir, gzip = true, http = true)
-          java.nio.file.Files.createFile(marker)
-        }
+        val (plainDir, gzDir) = stagedHttpWarc(s, d)
         WarcRead.records(s, plainDir).union(WarcRead.records(s, gzDir))
           .filter(col("warcType") === "response")
           .select(col("url"), col("tsUs").as("ts_us"),
@@ -233,6 +242,48 @@ object WebText {
               |SELECT url, ts_us, CAST(200 AS BIGINT) AS http_status,
               |  ${htmlTextSql("page", duckD)} AS extracted,
               |  CAST(2 AS BIGINT) AS n_copies
+              |FROM pg ORDER BY url""".stripMargin)),
+
+    // CDX INDEX + RANDOM ACCESS — the Common-Crawl index contract: a
+    // `.warc.gz` archive is indexed once per shard (one sequential
+    // member walk, manual gzip framing with CRC/ISIZE verified), each
+    // record's row carrying the exact (offset, length) of its OWN gzip
+    // member; a consumer then fetches ONE page with a single bounded
+    // range read + gunzip. The gate round-trips every page THROUGH the
+    // index: build CDX → bounded-fetch each member by (offset, length)
+    // → parse → extract text from the HTTP body — a wrong boundary
+    // fails loudly (gzip magic/CRC/truncation), so the green row proves
+    // the index byte-exact. Scale: indexing is one task per shard
+    // (~100k shards at 100 TB saturate any cluster); the fetch side is
+    // the serving path — here it runs distributed over the index rows.
+    QueryDef(
+      "q_warc_cdx",
+      (s, d) => {
+        import s.implicits._
+        val (_, gzDir) = stagedHttpWarc(s, d)
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          s.sparkContext.hadoopConfiguration)
+        WarcRead.cdxIndex(s, gzDir)
+          .filter(col("warcType") === "response")
+          .mapPartitions { it =>
+            it.map { e =>
+              val r = WarcRead.fetchMember(conf.value, e.file, e.offset,
+                e.length)
+              (e.url, r.tsUs, r.httpStatus.toLong,
+                new String(r.body, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+          .toDF("url", "ts_us", "http_status", "page")
+          .withColumn("extracted", expr(htmlTextSql("page", sparkD)))
+          .select("url", "ts_us", "http_status", "extracted")
+          .orderBy("url")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id,
+              |    'https://example.test/d/' || CAST(doc_id AS STRING) AS url,
+              |    (doc_id * 7 + 1700000000) * 1000000 AS ts_us,
+              |    $htmlSyn AS page FROM documents)
+              |SELECT url, ts_us, CAST(200 AS BIGINT) AS http_status,
+              |  ${htmlTextSql("page", duckD)} AS extracted
               |FROM pg ORDER BY url""".stripMargin)),
 
     // HTML → text extraction (input_hint: html BINARY; "byte-identical

@@ -336,6 +336,152 @@ object WarcRead {
     }
   }
 
+  // ----------------------------------------------------------- CDX index
+
+  /** One CDX-style index row: where record `url`@`tsUs` lives inside a
+    * `.warc.gz` archive — `offset`/`length` delimit the record's OWN
+    * gzip member, so a consumer fetches one page with a single bounded
+    * range read + gunzip (the Common-Crawl index contract). */
+  final case class CdxEntry(url: String, tsUs: Long, warcType: String,
+      file: String, offset: Long, length: Long)
+
+  /** Walk the gzip MEMBERS of a multi-member stream, yielding
+    * (memberStartOffset, memberCompressedLength, decompressedBytes).
+    * Parses gzip framing manually (header flags, deflate body via
+    * Inflater, CRC32+ISIZE trailer both VERIFIED) because
+    * GZIPInputStream concatenates members without exposing their
+    * boundaries — and the boundary IS the index. */
+  private[warc] final class GzMemberIter(under: InputStream)
+      extends Iterator[(Long, Long, Array[Byte])] {
+    private val buf = new Array[Byte](1 << 16)
+    private var bufLen = 0
+    private var bufPos = 0
+    private var absBase = 0L // absolute offset of buf(0)
+    private def abs: Long = absBase + bufPos
+    /** Ensure ≥ n bytes (n ≤ buf.length) are buffered; false at EOF. */
+    private def ensure(n: Int): Boolean = {
+      if (bufLen - bufPos >= n) return true
+      System.arraycopy(buf, bufPos, buf, 0, bufLen - bufPos)
+      absBase += bufPos; bufLen -= bufPos; bufPos = 0
+      var k = 0
+      while (bufLen < n && k >= 0) {
+        k = under.read(buf, bufLen, buf.length - bufLen)
+        if (k > 0) bufLen += k
+      }
+      bufLen - bufPos >= n
+    }
+    private def skipZeroTerminated(): Unit = {
+      var done = false
+      while (!done) {
+        require(ensure(1), "truncated gzip header string")
+        done = buf(bufPos) == 0
+        bufPos += 1
+      }
+    }
+    override def hasNext: Boolean = ensure(1)
+    override def next(): (Long, Long, Array[Byte]) = {
+      val start = abs
+      require(ensure(10), "truncated gzip member header")
+      require((buf(bufPos) & 0xff) == 0x1f && (buf(bufPos + 1) & 0xff) == 0x8b,
+        f"bad gzip magic at offset $start")
+      require(buf(bufPos + 2) == 8, "unsupported gzip compression method")
+      val flg = buf(bufPos + 3) & 0xff
+      bufPos += 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        require(ensure(2), "truncated FEXTRA")
+        val xlen = (buf(bufPos) & 0xff) | ((buf(bufPos + 1) & 0xff) << 8)
+        bufPos += 2
+        var left = xlen
+        while (left > 0) {
+          require(ensure(1), "truncated FEXTRA body")
+          val take = math.min(left, bufLen - bufPos)
+          bufPos += take; left -= take
+        }
+      }
+      if ((flg & 0x08) != 0) skipZeroTerminated() // FNAME
+      if ((flg & 0x10) != 0) skipZeroTerminated() // FCOMMENT
+      if ((flg & 0x02) != 0) { require(ensure(2), "truncated FHCRC"); bufPos += 2 }
+      val inf = new java.util.zip.Inflater(true)
+      val out = new java.io.ByteArrayOutputStream(1 << 16)
+      val tmp = new Array[Byte](1 << 16)
+      try {
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            require(ensure(1), "truncated gzip deflate body")
+            inf.setInput(buf, bufPos, bufLen - bufPos)
+            bufPos = bufLen // all handed over; reclaimed via getRemaining
+          }
+          val k = inf.inflate(tmp)
+          if (k > 0) out.write(tmp, 0, k)
+          else require(!inf.needsDictionary(), "deflate stream needs dictionary")
+        }
+        bufPos -= inf.getRemaining // give back what deflate didn't consume
+      } finally inf.end()
+      val bytes = out.toByteArray
+      require(ensure(8), "truncated gzip trailer")
+      val crc = (buf(bufPos) & 0xffL) | ((buf(bufPos + 1) & 0xffL) << 8) |
+        ((buf(bufPos + 2) & 0xffL) << 16) | ((buf(bufPos + 3) & 0xffL) << 24)
+      val isize = (buf(bufPos + 4) & 0xffL) | ((buf(bufPos + 5) & 0xffL) << 8) |
+        ((buf(bufPos + 6) & 0xffL) << 16) | ((buf(bufPos + 7) & 0xffL) << 24)
+      bufPos += 8
+      val c = new java.util.zip.CRC32()
+      c.update(bytes)
+      require(c.getValue == crc, f"gzip member CRC mismatch at offset $start")
+      require((bytes.length & 0xffffffffL) == isize,
+        f"gzip member ISIZE mismatch at offset $start")
+      (start, abs - start, bytes)
+    }
+  }
+
+  /** Build the CDX index of a `.warc.gz` archive (file or part dir):
+    * one row per record with the exact (offset, length) of its OWN gzip
+    * member. One sequential pass per shard — exactly how Common Crawl
+    * builds its index; at 100 TB the ~100k shards index in parallel,
+    * one task each, nothing on the driver. */
+  def cdxIndex(spark: SparkSession, path: String): Dataset[CdxEntry] = {
+    import spark.implicits._
+    val files = partFiles(spark, path).map(_._1).filter(_.endsWith(".gz"))
+    require(files.nonEmpty, s"cdxIndex needs .warc.gz shards under $path")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(files).repartition(files.size)
+      .mapPartitions { paths =>
+        paths.flatMap { f =>
+          val p = new Path(f)
+          val fs = FileSystem.get(p.toUri, conf.value)
+          new GzMemberIter(new BufferedInputStream(fs.open(p), 1 << 16))
+            .map { case (off, len, bytes) =>
+              val r = parseRecord(new java.io.ByteArrayInputStream(bytes))
+                .getOrElse(sys.error(s"empty gzip member at $f:$off"))
+              CdxEntry(r.url, r.tsUs, r.warcType, f, off, len)
+            }
+        }
+      }
+  }
+
+  /** Random-access fetch of ONE record through its CDX entry: a single
+    * bounded range read of exactly [offset, offset+length), gunzipped
+    * and parsed. Wrong boundaries fail loudly (bad magic / CRC /
+    * truncation), so a green fetch PROVES the index is byte-exact. */
+  def fetchMember(conf: org.apache.hadoop.conf.Configuration, file: String,
+      offset: Long, length: Long): WarcRecord = {
+    val p = new Path(file)
+    val fs = FileSystem.get(p.toUri, conf)
+    val in = fs.open(p)
+    val raw = try {
+      in.seek(offset)
+      val b = new Array[Byte](length.toInt)
+      in.readFully(b)
+      b
+    } finally in.close()
+    val it = new GzMemberIter(new java.io.ByteArrayInputStream(raw))
+    val (_, len, bytes) = it.next()
+    require(len == length, s"member at $file:$offset is $len bytes, CDX says $length")
+    require(!it.hasNext, s"CDX range $file:$offset+$length spans >1 member")
+    parseRecord(new java.io.ByteArrayInputStream(bytes))
+      .getOrElse(sys.error(s"empty record in member $file:$offset"))
+  }
+
   // ------------------------------------------------------------- reads
 
   /** All records under `path` (file or part directory; `.warc` plain

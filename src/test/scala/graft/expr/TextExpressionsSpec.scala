@@ -110,14 +110,34 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(tc(ref) === expect)
   }
 
+  test("tokenize_ids: greedy id stream, ids single-sourced from the vocab") {
+    import graft.expr.TokRT
+    def ids(w: String): Seq[Int] = Seq(w).toDF("w")
+      .select(TextFunctions.tokenize_ids($"w")).collect()
+      .head.getSeq[Int](0).toSeq
+    assert(ids("") === Seq.empty)
+    assert(ids("mention") ===
+      Seq(TokRT.VocabIds("ment"), TokRT.VocabIds("ion")))
+    assert(ids("theory") ===
+      Seq(TokRT.VocabIds("the"), TokRT.VocabIds("or"), 1000 + 'y'.toInt))
+    assert(ids("zq") === Seq(1000 + 'z'.toInt, 1000 + 'q'.toInt))
+    // id stream length always equals tokenize_count of the same word
+    for (w <- Seq("the", "mention", "ingest", "xtion", "government"))
+      assert(ids(w).length.toLong === Seq(w).toDF("w")
+        .select(TextFunctions.tokenize_count($"w")).head().getLong(0))
+  }
+
   test("kernels agree between codegen and interpreted eval") {
-    def run(): Seq[(Seq[Long], Long, Long)] = {
+    def run(): Seq[(Seq[Long], Long, Long, Seq[Int])] = {
       texts.toDF("text")
         .select(TextFunctions.minhash_sig(
           TextFunctions.shingle_hashes(lower($"text"))).as("sig"),
           TextFunctions.simhash16(lower($"text")).as("sh"),
-          TextFunctions.tokenize_count(lower($"text")).as("tok"))
-        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1), r.getLong(2))).toSeq
+          TextFunctions.tokenize_count(lower($"text")).as("tok"),
+          TextFunctions.tokenize_ids(
+            regexp_replace(lower($"text"), " ", "")).as("ids"))
+        .collect().map(r => (r.getSeq[Long](0).toSeq, r.getLong(1),
+          r.getLong(2), r.getSeq[Int](3).toSeq)).toSeq
     }
     // factoryMode (not the wholeStage flag): CODEGEN_ONLY + fallback
     // off makes a broken doGenCode THROW instead of silently falling

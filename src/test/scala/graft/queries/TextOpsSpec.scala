@@ -47,6 +47,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("kept") === 0).count() > 0)
   }
 
+  test("substr dedup: planted exact dups fully covered; trim empties them") {
+    val rep = graft.SparkEntry.queries("q_substr_dedup")(spark, sf)
+      .localCheckpoint()
+    // corpus plants doc_id+2000000 as byte-exact copies: every 5-gram
+    // occurrence there is non-first, so coverage is total
+    val dupDocs = rep.filter(col("doc_id") >= 2000000L)
+    assert(dupDocs.count() > 0)
+    assert(dupDocs.filter(col("dup_milli") =!= 1000L).count() === 0)
+    val trim = graft.SparkEntry.queries("q_substr_trim")(spark, sf)
+      .localCheckpoint()
+    assert(trim.filter(col("doc_id") >= 2000000L)
+      .filter(col("text_trim") =!= "" || col("kept_tokens") =!= 0L)
+      .count() === 0, "exact dups are removed from the trimmed corpus")
+    // kept + covered = total everywhere (trim drops exactly the cover)
+    val joined = rep.select("doc_id", "n_tokens", "covered_tokens")
+      .join(trim.select("doc_id", "kept_tokens"), "doc_id")
+    assert(joined.filter(
+      col("kept_tokens") + col("covered_tokens") =!= col("n_tokens"))
+      .count() === 0)
+  }
+
   test("ppl scoring: hand-checked doc against the fixed model") {
     // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
     // over 4 words → 3550000 (< threshold → kept)

@@ -191,6 +191,69 @@ class WarcSpec extends AnyFunSuite {
     assert(r.body.toSeq === payload.toSeq)
   }
 
+  test("cdx: member walk partitions each .gz file exactly, warcinfo first") {
+    val dir = writeFixture(gzip = true)
+    for (f <- new java.io.File(dir).listFiles()
+        if f.getName.startsWith("part-")) {
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      val members = try new WarcRead.GzMemberIter(in).map {
+        case (off, len, bytes) => (off, len,
+          WarcRead.parseRecord(new java.io.ByteArrayInputStream(bytes))
+            .get.warcType)
+      }.toSeq finally in.close()
+      assert(members.head._1 === 0L)
+      assert(members.head._3 === "warcinfo")
+      // members tile the file: each starts where the previous ended
+      members.sliding(2).foreach {
+        case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 === o2)
+        case _ =>
+      }
+      val (lo, ll, _) = members.last
+      assert(lo + ll === f.length, "members cover the whole file")
+    }
+  }
+
+  test("cdx: bounded fetch round-trips every record; wrong bounds fail loudly") {
+    val dir = writeFixture(gzip = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = WarcRead.cdxIndex(spark, dir).collect().toSeq
+    assert(idx.count(_.warcType == "response") === fixture.size)
+    for (e <- idx if e.warcType == "response") {
+      val r = WarcRead.fetchMember(conf, e.file, e.offset, e.length)
+      assert(r.url === e.url)
+      val want = fixture.find(_._1 === e.url).get
+      assert(r.payload.toSeq === want._3.toSeq)
+    }
+    val resp = idx.filter(_.warcType == "response").head
+    intercept[Exception] { // off-by-one offset: gzip magic check trips
+      WarcRead.fetchMember(conf, resp.file, resp.offset + 1, resp.length)
+    }
+    intercept[Exception] { // truncated length: deflate body/trailer trips
+      WarcRead.fetchMember(conf, resp.file, resp.offset, resp.length - 3)
+    }
+  }
+
+  test("cdx: a flipped payload byte is caught by the member CRC") {
+    val dir = writeFixture(gzip = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e = WarcRead.cdxIndex(spark, dir).collect()
+      .filter(_.warcType == "response").maxBy(_.length)
+    val f = if (e.file.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(e.file))
+    else java.nio.file.Paths.get(e.file)
+    val bytes = Files.readAllBytes(f)
+    // flip one byte in the middle of the member's deflate body
+    val at = (e.offset + e.length / 2).toInt
+    bytes(at) = (bytes(at) ^ 0x5a).toByte
+    val tampered = Files.createTempFile("warccdx", ".warc.gz")
+    Files.write(tampered, bytes)
+    val ex = intercept[Exception] {
+      WarcRead.fetchMember(conf, tampered.toUri.toString, e.offset, e.length)
+    }
+    assert(ex.getMessage.matches("(?s).*(CRC|ISIZE|truncated|magic|inflate|invalid).*"),
+      s"unexpected failure mode: ${ex.getMessage}")
+  }
+
   test("WARC-Date truncates to seconds on write and parses back") {
     assert(WarcWrite.formatDate(1700000001999999L) === "2023-11-14T22:13:21Z")
     assert(WarcRead.parseDate("2023-11-14T22:13:21Z") === 1700000001000000L)
