@@ -176,6 +176,34 @@ object TextOps {
        | ELSE 1000 + unicode(substr(w, pos, 1)) END""".stripMargin
   }
 
+  /** DuckDB replay of the token-ID recursion: given a preceding
+    * `src(doc_id, text)` CTE, yields `wd(doc_id, wi, w)` word
+    * occurrences and `wt(w, j, tid)` per-DISTINCT-word token rows
+    * (0-based in-word ordinal j). Requires WITH RECURSIVE. */
+  private def tokIdCtes: String = {
+    import graft.expr.TokRT
+    def inl(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    s"""wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |        FROM src),
+       |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
+       |uw AS (SELECT DISTINCT w FROM wd),
+       |tkr AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS j,
+       |    CAST(0 AS BIGINT) AS tid
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT w,
+       |    pos + CASE WHEN substr(w, pos, 4) IN (${inl(TokRT.Vocab4)}) THEN 4
+       |      WHEN substr(w, pos, 3) IN (${inl(TokRT.Vocab3)}) THEN 3
+       |      WHEN substr(w, pos, 2) IN (${inl(TokRT.Vocab2)}) THEN 2
+       |      ELSE 1 END,
+       |    j + 1,
+       |    CAST($tokIdCase AS BIGINT)
+       |  FROM tkr WHERE pos <= len(w)),
+       |wt AS (SELECT w, j - 1 AS j, tid FROM tkr WHERE j >= 1)""".stripMargin
+  }
+
   /** k=8 minhash signature as a PER-ROW array expression over the
     * shingle set — zero fan-out, zero shuffle. (Round-1 used
     * explode(shingles)×explode(8 hash indices)→groupBy, which shuffled
@@ -326,30 +354,65 @@ object TextOps {
         .orderBy("doc_id", "wi", "j"),
       Some(s"""WITH RECURSIVE src AS (
               |  SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 16 = 0),
-              |wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
-              |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-              |        FROM src),
-              |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
-              |uw AS (SELECT DISTINCT w FROM wd),
-              |tkr AS (
-              |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS j,
-              |    CAST(0 AS BIGINT) AS tid
-              |  FROM uw
-              |  UNION ALL
-              |  SELECT w,
-              |    pos + CASE WHEN substr(w, pos, 4) IN (${
-                 graft.expr.TokRT.Vocab4.map(w => s"'$w'").mkString(", ")}) THEN 4
-              |      WHEN substr(w, pos, 3) IN (${
-                 graft.expr.TokRT.Vocab3.map(w => s"'$w'").mkString(", ")}) THEN 3
-              |      WHEN substr(w, pos, 2) IN (${
-                 graft.expr.TokRT.Vocab2.map(w => s"'$w'").mkString(", ")}) THEN 2
-              |      ELSE 1 END,
-              |    j + 1,
-              |    CAST($tokIdCase AS BIGINT)
-              |  FROM tkr WHERE pos <= len(w)),
-              |wt AS (SELECT w, j - 1 AS j, tid FROM tkr WHERE j >= 1)
+              |$tokIdCtes
               |SELECT doc_id, wi, j, tid FROM wd JOIN wt USING (w)
               |ORDER BY doc_id, wi, j""".stripMargin)),
+
+    // PACKED-BATCH MATERIALIZATION — the step after q_pack_sequences
+    // that actually produces what the trainer consumes: each (shard,
+    // bin)'s concatenated token-ID stream, docs in doc_id order, ids in
+    // (word, in-word) order. Same per-shard prefix-sum binning as
+    // q_pack_sequences (bins agree by construction: per-doc id-row
+    // count ≡ tokenize_count), then one (shard, bin) groupBy whose
+    // output row is bounded by the 2048-token budget — at any scale a
+    // bin's ids fit one row, so materialization is a plain aggregate,
+    // never a wide collect.
+    QueryDef(
+      "q_pack_materialize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dt = corpus(s, d)
+          .filter(pmod(col("doc_id"), lit(32L)) < 4)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(32L)).as("shard"),
+            posexplode(split(lower(col("text")), " ")))
+          .toDF("doc_id", "shard", "wi", "w")
+          .select(col("doc_id"), col("shard"), col("wi"),
+            posexplode(TextFunctions.tokenize_ids(col("w"))))
+          .toDF("doc_id", "shard", "wi", "j", "tid")
+          .groupBy("doc_id", "shard")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(wi, j, tid))), x -> CAST(x.tid AS STRING)), ' ')")
+              .as("ids"),
+            count(lit(1)).as("toks"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dt.withColumn("csum", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .withColumn("bin", expr("csum DIV 2048"))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("bin_tokens"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "struct(doc_id, ids))), x -> x.ids), ' ')").as("input_ids"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH RECURSIVE src AS (
+              |  SELECT doc_id, text FROM ($corpusSql) WHERE doc_id % 32 < 4),
+              |$tokIdCtes,
+              |dt AS (SELECT doc_id, doc_id % 32 AS shard,
+              |    string_agg(CAST(tid AS STRING), ' ' ORDER BY wi, j) AS ids,
+              |    CAST(count(*) AS BIGINT) AS toks
+              |  FROM wd JOIN wt USING (w) GROUP BY doc_id),
+              |b AS (SELECT shard, doc_id, ids, toks,
+              |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard
+              |      ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) // 2048 AS bin
+              |  FROM dt)
+              |SELECT shard, bin, count(*) AS n_docs,
+              |  CAST(sum(toks) AS BIGINT) AS bin_tokens,
+              |  string_agg(ids, ' ' ORDER BY doc_id) AS input_ids
+              |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
     // language-ID heuristic: scaled stopword scores, deterministic CASE
     QueryDef(

@@ -68,6 +68,25 @@ class TextOpsSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("pack materialization agrees with the packing report bin-for-bin") {
+    val rep = graft.SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .select("shard", "bin", "n_docs", "fill_toks")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val mat = graft.SparkEntry.queries("q_pack_materialize")(spark, sf)
+      .collect()
+    assert(mat.nonEmpty)
+    for (r <- mat) {
+      val key = (r.getLong(0), r.getLong(1))
+      assert(rep(key) === ((r.getLong(2), r.getLong(3))),
+        s"bin $key docs/tokens must match the q_pack_sequences report")
+      // the materialized stream really carries bin_tokens ids
+      val ids = r.getString(4).split(" ").filter(_.nonEmpty)
+      assert(ids.length.toLong === r.getLong(3))
+      assert(ids.forall(_.forall(_.isDigit)))
+    }
+  }
+
   test("ppl scoring: hand-checked doc against the fixed model") {
     // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
     // over 4 words → 3550000 (< threshold → kept)
