@@ -20,7 +20,7 @@ object TextOps {
   private val P = 1000000007L
 
   /** Spark-side corpus: documents + planted near-dups + exact dups. */
-  private def corpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def corpus(s: SparkSession, d: String): DataFrame = {
     TextFunctions.register(s)
     val docs = Tables.t(s, d, "documents").select("doc_id", "text")
     val near = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -31,7 +31,7 @@ object TextOps {
     docs.union(near).union(exact)
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 1000000, text || ' near duplicate suffix'
       |  FROM documents WHERE doc_id % 7 = 0
@@ -39,7 +39,7 @@ object TextOps {
       |  FROM documents WHERE doc_id % 11 = 0""".stripMargin
 
   /** DuckDB rendering of the shared polynomial hash. */
-  private def ph(e: String): String =
+  private[queries] def ph(e: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(regexp_split_to_array($e, ''), " +
       s"c -> unicode(c))), (a, b) -> (a * 31 + b) % 1000000007)"
 
@@ -130,10 +130,10 @@ object TextOps {
   /** Spark-side word-3-gram shingle hash set (codegen kernel — same
     * values as array_distinct(transform(split(lower(text)),...)) with
     * the shared polynomial hash, but one fused loop per row). */
-  private def shingleSet(text: Column): Column =
+  private[queries] def shingleSet(text: Column): Column =
     TextFunctions.shingle_hashes(lower(text))
 
-  private val shingleSetSql = // per-row `toks` list column assumed
+  private[queries] val shingleSetSql = // per-row `toks` list column assumed
     s"""list_distinct(list_transform(
        |  range(1, greatest(len(toks) - 1, 1)),
        |  i -> ${ph("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
@@ -144,7 +144,7 @@ object TextOps {
     * recursion is shallow and the row count tiny), then joined back to
     * the per-doc word multiset. Requires WITH RECURSIVE and a prior
     * `src(doc_id, text)` CTE; yields `tc(doc_id, bpe_tokens)`. */
-  private def tokCountCtes: String = {
+  private[queries] def tokCountCtes: String = {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
     import graft.expr.TokRT
     s"""wd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

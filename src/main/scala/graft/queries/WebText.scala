@@ -83,6 +83,42 @@ object WebText {
       "'</p><p>&lt;escaped&gt; &amp; &quot;quoted&quot; &#39;s</p></body></html>'"
   }
 
+  /** Pipeline variant of [[htmlSyn]] with a CONSTANT title/heading (no
+    * doc_id in the visible text), so byte-identical source documents
+    * extract to byte-identical text — the property the pipeline's
+    * exact-dedup stage needs. Head noise still varies per doc (and is
+    * stripped by extraction). */
+  private[queries] val htmlSynPipe: String = {
+    val noise =
+      "CASE doc_id % 3 " +
+        "WHEN 0 THEN '<script type=\"text/javascript\">var x = 1 && 2; if (x<3) { go(\"now\"); }</script>' " +
+        "WHEN 1 THEN '<style>p > a { color: #fff; }</style>' " +
+        "ELSE '<!-- hidden <b>comment</b> -->' END"
+    "'<html><head><title>Page</title>' || " + noise +
+      " || '</head><body><h1 class=\"t\">Page</h1><p>' || text || " +
+      "'</p><p>&lt;escaped&gt; &amp; &quot;quoted&quot; &#39;s</p></body></html>'"
+  }
+
+  /** Stage the pipeline's input archive once per (session, sfDir): the
+    * dup-planted corpus (so the dedup stage has real work) as
+    * HTTP-framed CC-layout gz shards. */
+  private[queries] def stagedPipeWarc(s: SparkSession, d: String): String = {
+    val dir = Staging.dir("warc_pipe", d)
+    val marker = dir.resolve("_STAGED")
+    val gzDir = dir.resolve("gz").toString
+    if (!java.nio.file.Files.exists(marker)) {
+      val pages = TextOps.corpus(s, d)
+        .select(
+          concat(lit("https://example.test/d/"), col("doc_id")).as("url"),
+          ((col("doc_id") * 7L + 1700000000L) * 1000000L).as("ts_us"),
+          expr(htmlSynPipe).cast("binary").as("payload"))
+        .repartition(4, col("url"))
+      WarcWrite.write(pages, gzDir, gzip = true, http = true)
+      java.nio.file.Files.createFile(marker)
+    }
+    gzDir
+  }
+
   /** The extraction chain: normalize control whitespace (chr-based, no
     * regex), strip script/style/comment blocks, strip tags, decode the
     * five core entities (amp LAST), collapse space runs, trim. Order
@@ -285,6 +321,77 @@ object WebText {
               |SELECT url, ts_us, CAST(200 AS BIGINT) AS http_status,
               |  ${htmlTextSql("page", duckD)} AS extracted
               |FROM pg ORDER BY url""".stripMargin)),
+
+    // END-TO-END RESUMABLE CORPUS PIPELINE (jobs/CorpusPipeline — the
+    // webtext counterpart of the geo Pipeline's J9 resumability):
+    // crawl archive in, training-set pack report out, through FOUR
+    // snapshotted stages (archive scan+extract → perplexity+repetition
+    // filter → exact dedup → token-budget packing), each an immutable
+    // parquet set + manifest whose lineage key chains back to the input
+    // archive — a killed run resumes from the last committed stage, a
+    // changed threshold recomputes only from the first affected stage
+    // (CorpusPipelineSpec proves both). The input archive is the
+    // dup-planted corpus as HTTP-framed CC gz shards with a CONSTANT
+    // page title, so exact source dups extract byte-identically and the
+    // dedup stage genuinely removes them. The DuckDB oracle replays the
+    // ENTIRE chain — extraction template, integer ppl scoring,
+    // repetition per-mille, keeper election, recursive-CTE token counts
+    // and prefix-sum binning — so crawl-to-pack is value-checked end to
+    // end in one gate.
+    QueryDef(
+      "q_corpus_pipeline",
+      (s, d) => {
+        val gzDir = stagedPipeWarc(s, d)
+        val root = Staging.dir("corpus_pipe_snap", d).toString
+        val (pack, _) = graft.util.Scoped.shufflePartitions(s, 8) {
+          graft.jobs.CorpusPipeline.run(s, gzDir, root,
+            extractSql = htmlTextSql("page", sparkD),
+            pplVocab = TextOps.PplVocab, pplOov = TextOps.PplOov,
+            pplKeepBelow = TextOps.PplKeepBelow)
+        }
+        pack.orderBy("shard", "bin")
+      },
+      Some {
+        val vals = TextOps.PplVocab
+          .map { case (w, p) => s"('$w', $p)" }.mkString(", ")
+        s"""WITH RECURSIVE c0 AS (${TextOps.corpusSql}),
+           |pg AS (SELECT doc_id, $htmlSynPipe AS page FROM c0),
+           |ex AS (SELECT doc_id, ${htmlTextSql("page", duckD)} AS text
+           |  FROM pg),
+           |v(w, nlp) AS (VALUES $vals),
+           |tkw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           |  FROM ex),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(coalesce(v.nlp, ${TextOps.PplOov})) AS BIGINT)
+           |      AS nll_sum
+           |  FROM tkw LEFT JOIN v USING (w) GROUP BY doc_id),
+           |tkl AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           |  FROM ex),
+           |rp AS (SELECT doc_id,
+           |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS t3,
+           |    CAST(len(${TextOps.shingleSetSql}) AS BIGINT) AS d3
+           |  FROM tkl),
+           |fl AS (SELECT e.doc_id, e.text FROM ex e
+           |  JOIN sc ON e.doc_id = sc.doc_id
+           |  JOIN rp ON e.doc_id = rp.doc_id
+           |  WHERE sc.nll_sum // sc.n_words < ${TextOps.PplKeepBelow}
+           |    AND (rp.t3 - rp.d3) * 1000 // greatest(rp.t3, 1) <= 100),
+           |dd AS (SELECT min(doc_id) AS doc_id, text FROM fl
+           |  GROUP BY text),
+           |src AS (SELECT doc_id, text FROM dd WHERE doc_id % 32 < 4),
+           |${TextOps.tokCountCtes},
+           |t AS (SELECT s.doc_id, tc.bpe_tokens AS toks, s.doc_id % 32 AS shard
+           |  FROM src s JOIN tc ON s.doc_id = tc.doc_id),
+           |b AS (SELECT shard, doc_id, toks,
+           |    CAST(coalesce(sum(toks) OVER (PARTITION BY shard
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) // 2048 AS bin
+           |  FROM t)
+           |SELECT shard, bin, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS fill_toks, min(doc_id) AS first_id
+           |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+      }),
 
     // HTML → text extraction (input_hint: html BINARY; "byte-identical
     // extracted text per url"). The page travels as BINARY exactly as a
