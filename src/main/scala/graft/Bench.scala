@@ -226,11 +226,15 @@ object Bench {
     // files; q_admin_incremental's compiles the diff-apply + restricted
     // rebuild path (its timed row then measures the incremental
     // maintenance itself)
+    // q_warc_cdx is warmed because it is alphabetically FIRST among the
+    // gates sharing the session-staged HTTP-framed archive (q_warc_http
+    // reuses it) — without the throwaway its timed row would absorb the
+    // one-time archive write that belongs to no single query
     for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
         "q_embed_ann_ivf_recall", "q_embed_ann_ivfpq_recall", "q_page_knn",
         "q_multimodal", "q_stream_dedup", "q_stream_dedup_ttl",
         "q_admin_incremental", "q_extract", "q_knn_centres", "q_osc_upsert",
-        "q_vectorize", "q_warc_roundtrip"))
+        "q_vectorize", "q_warc_roundtrip", "q_warc_cdx"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

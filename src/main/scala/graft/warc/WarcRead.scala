@@ -142,8 +142,17 @@ object WarcRead {
 
   /** Parse ONE record at the stream position; None at clean EOF.
     * Throws on any malformation (corrupt archives fail loudly — an
-    * archive is a source of truth, not a best-effort feed). */
-  private[warc] def parseRecord(in: InputStream): Option[WarcRecord] = {
+    * archive is a source of truth, not a best-effort feed). When the
+    * record carries `WARC-Block-Digest` / `WARC-Payload-Digest`
+    * headers (sha1, the CC convention) they are VERIFIED against the
+    * decoded bytes — a flipped payload byte in a plain `.warc` is now
+    * as loud as the gz layout's CRC. `verifyDigests = false` is used
+    * ONLY by resync chain validation, where candidate acceptance must
+    * stay a structural property (a digest-corrupt true record must not
+    * silently vanish from the index — it must reach decode and fail
+    * THERE). */
+  private[warc] def parseRecord(in: InputStream,
+      verifyDigests: Boolean = true): Option[WarcRecord] = {
     val version = readLine(in)
     if (version == null) return None
     require(version.startsWith("WARC/"), s"not a WARC record: '$version'")
@@ -165,6 +174,14 @@ object WarcRead {
     val (status, body) =
       if (ctype.startsWith("application/http")) splitHttp(payload)
       else (0, payload)
+    if (verifyDigests) {
+      for (want <- h.get("warc-block-digest") if want.startsWith("sha1:"))
+        require(graft.warc.WarcWrite.sha1Digest(payload) == want,
+          s"WARC-Block-Digest mismatch on record ${h.getOrElse("warc-record-id", "?")}")
+      for (want <- h.get("warc-payload-digest") if want.startsWith("sha1:"))
+        require(graft.warc.WarcWrite.sha1Digest(body) == want,
+          s"WARC-Payload-Digest mismatch on record ${h.getOrElse("warc-record-id", "?")}")
+    }
     Some(WarcRecord(
       url = h.getOrElse("warc-target-uri", ""),
       tsUs = h.get("warc-date").map(parseDate).getOrElse(0L),
@@ -306,9 +323,9 @@ object WarcRead {
       vin.seek(off)
       val cnt = new CountingInputStream(new BufferedInputStream(
         new NonClosingStream(vin), 1 << 16))
-      if (parseRecord(cnt).isEmpty) return None
+      if (parseRecord(cnt, verifyDigests = false).isEmpty) return None
       val end = off + cnt.count
-      parseRecord(cnt) // next position must parse (or be clean EOF)
+      parseRecord(cnt, verifyDigests = false) // next must parse (or clean EOF)
       Some(end)
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -58,6 +58,22 @@ object WarcWrite {
   private[warc] def formatDate(tsUs: Long): String =
     Instant.ofEpochSecond(Math.floorDiv(tsUs, 1000000L)).toString
 
+  /** `sha1:<base32>` content digest — the exact Common-Crawl spelling
+    * (RFC 4648 upper-case base32; SHA-1's 160 bits are 32 characters,
+    * no padding). */
+  private[warc] def sha1Digest(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var acc = 0L
+    var bits = 0
+    for (b <- d) {
+      acc = (acc << 8) | (b & 0xffL); bits += 8
+      while (bits >= 5) { bits -= 5; sb.append(alpha(((acc >> bits) & 31).toInt)) }
+    }
+    "sha1:" + sb.toString
+  }
+
   private def headerBlock(kv: Seq[(String, String)], contentLength: Int): Array[Byte] = {
     val sb = new StringBuilder("WARC/1.0\r\n")
     for ((k, v) <- kv) {
@@ -106,6 +122,10 @@ object WarcWrite {
       "WARC-Record-ID" -> recordId(url, tsUs, payload),
       "WARC-Date" -> formatDate(tsUs),
       "WARC-Target-URI" -> url,
+      // CC convention: block digest over the record block, payload
+      // digest over the HTTP body (= the original payload)
+      "WARC-Block-Digest" -> sha1Digest(block),
+      "WARC-Payload-Digest" -> sha1Digest(payload),
       "Content-Type" -> ctype), block)
   }
 

@@ -172,6 +172,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("corpus dedup elections never broadcast (their build sides scale with the corpus)") {
+    // the keeper/election frames of the dedup family are one row per
+    // distinct paragraph/shingle — corpus-sized; Spark byte-
+    // underestimates post-agg sides and would broadcast them, which
+    // OOMs at crawl scale. The forced shuffled-hash form must hold.
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q_para_dedup", "q_substr_dedup", "q_substr_trim")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.toString()
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$name must not broadcast a corpus-sized side:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name lost its shuffled-hash election join:\n$plan")
+    }
+    // the ppl filter's ONLY broadcast is the fixed vocab model (the
+    // legitimate dim side); the doc-score side must not broadcast
+    val ppl = SparkEntry.queries("q_ppl_filter")(spark, sf)
+      .queryExecution.sparkPlan.toString()
+    assert(ppl.contains("BroadcastHashJoin"),
+      s"q_ppl_filter should broadcast the fixed vocab:\n$ppl")
+    assert(!ppl.contains("CartesianProduct") &&
+      !ppl.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
     import spark.implicits._
     val joined = Seq(("u", -190000000L, -1699000000L, 1L))

@@ -254,6 +254,48 @@ class WarcSpec extends AnyFunSuite {
       s"unexpected failure mode: ${ex.getMessage}")
   }
 
+  test("digests: a flipped payload byte in a PLAIN .warc fails loudly on read") {
+    val dir = writeFixture(gzip = false)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).maxBy(_.length)
+    val bytes = Files.readAllBytes(f.toPath)
+    // find the first response payload ("hello world" or the unicode
+    // body) and flip one byte inside it — structure (lengths, CRLFs)
+    // stays intact, so before digests this read back silently wrong
+    val needle = "hello world".getBytes(UTF_8)
+    val at = bytes.indexOfSlice(needle.toSeq)
+    val target = if (at >= 0) at else {
+      val n2 = "ünïcødé".getBytes(UTF_8)
+      bytes.indexOfSlice(n2.toSeq)
+    }
+    assume(target >= 0, "fixture payload not in this part file")
+    bytes(target) = (bytes(target) ^ 0x01).toByte
+    Files.write(f.toPath, bytes)
+    // drop Hadoop LocalFileSystem's .crc sidecar so the WARC-level
+    // digest (not the transport checksum) is what catches the flip —
+    // mirrors a DFS whose block checksums were computed AFTER the
+    // corruption (e.g. a bad upload)
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    // below the distributed threshold the driver's pointer walk parses
+    // records, so the digest failure fires at plan time — either way
+    // the read is loud, never silently wrong bytes
+    val ex = intercept[Exception] {
+      WarcRead.records(spark, dir).collect()
+    }
+    def digesty(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("Digest mismatch")) ||
+        digesty(t.getCause))
+    assert(digesty(ex), s"unexpected failure: $ex")
+  }
+
+  test("digests: sha1 base32 spelling matches the RFC 4648 vector") {
+    // RFC 4648 test vector alphabet check via a known value:
+    // sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
+    // base32 of those 20 bytes = 3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ
+    assert(WarcWrite.sha1Digest(Array.emptyByteArray) ===
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+  }
+
   test("WARC-Date truncates to seconds on write and parses back") {
     assert(WarcWrite.formatDate(1700000001999999L) === "2023-11-14T22:13:21Z")
     assert(WarcRead.parseDate("2023-11-14T22:13:21Z") === 1700000001000000L)
