@@ -66,6 +66,10 @@ object TextOps {
   /** Keep documents whose mean token NLL is below this (micro-nats). */
   private[queries] val PplKeepBelow: Long = 5150000L
 
+  /** DSIR raw (proposal) model: uniform over the observed vocab —
+    * ln 31 in micro-nats, every token including OOV. */
+  private[queries] val DsirRawNlp: Long = 3434000L
+
   // --------------------------------------------- exact-substring dedup
 
   /** Positional tokens of the corpus: (doc_id, pos, w). */
@@ -808,6 +812,59 @@ object TextOps {
               |SELECT doc_id, n_words, nll_sum // n_words AS nll_micro,
               |  CAST(nll_sum // n_words < $PplKeepBelow AS INTEGER) AS kept
               |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling",
+    // deterministic unigram form): per-token importance weight =
+    // log p_target − log p_raw under two FIXED models (target = the
+    // PplVocab unigram LM, raw = uniform over the observed vocab,
+    // ln 31 ≈ 3.434 micro-nats for every token incl. OOV); per-doc
+    // weight = the per-token mean. Selection is the deterministic
+    // analogue of the paper's Gumbel top-k: a weight-dependent keep
+    // rate (per-mille, linear in the log-ratio, clamped) compared
+    // against the engine-common multiplicative doc hash — reproducible
+    // at any parallelism, no global sort. Same scale shape as the ppl
+    // filter: one explode, one broadcast model join, one doc groupBy.
+    QueryDef(
+      "q_dsir_sample",
+      (s, d) => {
+        import s.implicits._
+        val vocabDf = broadcast(PplVocab.toDF("w", "nlp"))
+        corpus(s, d)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .join(vocabDf, Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(lit(DsirRawNlp) - coalesce(col("nlp"), lit(PplOov)))
+              .as("lw_sum"))
+          .withColumn("wt_micro", expr("lw_sum DIV n_words"))
+          .withColumn("keep_milli", greatest(lit(0L), least(lit(1000L),
+            lit(500L) + expr("(wt_micro + 1700000) DIV 1500"))))
+          .withColumn("kept",
+            (pmod(col("doc_id") * 2654435761L, lit(1000L)) <
+              col("keep_milli")).cast("int"))
+          .select("doc_id", "n_words", "wt_micro", "keep_milli", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH v(w, nlp) AS (VALUES ${
+                PplVocab.map { case (w, p) => s"('$w', $p)" }.mkString(", ")}),
+              |tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              |  FROM ($corpusSql)),
+              |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+              |    CAST(sum($DsirRawNlp - coalesce(v.nlp, $PplOov)) AS BIGINT)
+              |      AS lw_sum
+              |  FROM tk LEFT JOIN v USING (w) GROUP BY doc_id),
+              |wt AS (SELECT doc_id, n_words, lw_sum // n_words AS wt_micro
+              |  FROM sc),
+              |km AS (SELECT doc_id, n_words, wt_micro,
+              |    greatest(0, least(1000, 500 + (wt_micro + 1700000) // 1500))
+              |      AS keep_milli
+              |  FROM wt)
+              |SELECT doc_id, n_words, wt_micro, keep_milli,
+              |  CAST((doc_id * 2654435761) % 1000 < keep_milli AS INTEGER)
+              |    AS kept
+              |FROM km ORDER BY doc_id""".stripMargin)),
 
     // exact dedup: hash-groupBy on text
     QueryDef(

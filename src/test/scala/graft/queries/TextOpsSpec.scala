@@ -87,6 +87,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dsir_sample: keep rule exact, rate monotone in the importance weight") {
+    val r = graft.SparkEntry.queries("q_dsir_sample")(spark, sf)
+      .localCheckpoint()
+    val bad = r.filter(col("kept") =!=
+      (pmod(col("doc_id") * 2654435761L, lit(1000L)) < col("keep_milli"))
+        .cast("int")).count()
+    assert(bad === 0, "selection must be exactly the deterministic hash rule")
+    // monotone: sort by weight, rates must be non-decreasing
+    val pairs = r.select("wt_micro", "keep_milli")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(pairs.sliding(2).forall {
+      case Array((_, k1), (_, k2)) => k1 <= k2
+      case _ => true
+    })
+    // the fixture genuinely spreads across the rate range
+    assert(pairs.head._2 === 0L && pairs.last._2 > 900L)
+  }
+
   test("ppl scoring: hand-checked doc against the fixed model") {
     // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
     // over 4 words → 3550000 (< threshold → kept)
