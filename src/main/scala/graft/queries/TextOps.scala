@@ -813,6 +813,59 @@ object TextOps {
               |  CAST(nll_sum // n_words < $PplKeepBelow AS INTEGER) AS kept
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // GOPHER RULE SET (Rae et al. 2021 §A1.1, the canonical pre-filter
+    // repertoire beyond the repetition gate): word-count bounds, mean
+    // word length window, alphabetic-word fraction floor, and required
+    // stop-word presence — each an integer per-mille/centi rule with
+    // its own flag plus the conjunction. Pure per-row builtins and
+    // array HOFs, zero shuffle before the output sort; the oracle is
+    // the identical algebra over DuckDB's list functions.
+    QueryDef(
+      "q_gopher_rules",
+      (s, d) => corpus(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("n_words", expr("size(split(t, ' '))").cast("long"))
+        .withColumn("mean_len_centi",
+          expr("length(replace(t, ' ', '')) * 100 DIV n_words"))
+        .withColumn("alpha_milli", expr(
+          "size(filter(split(t, ' '), w -> w rlike '[a-z]')) * 1000 DIV n_words"))
+        .withColumn("n_stop", expr(
+          "size(array_intersect(split(t, ' '), array('the','a','of','to','and')))")
+          .cast("long"))
+        .select(col("doc_id"), col("n_words"), col("mean_len_centi"),
+          col("alpha_milli"), col("n_stop"),
+          (col("n_words") >= 20 && col("n_words") <= 100000).cast("int")
+            .as("ok_count"),
+          (col("mean_len_centi") >= 300 && col("mean_len_centi") <= 1000)
+            .cast("int").as("ok_meanlen"),
+          (col("alpha_milli") >= 800).cast("int").as("ok_alpha"),
+          (col("n_stop") >= 2).cast("int").as("ok_stop"))
+        .withColumn("pass", (col("ok_count") === 1 && col("ok_meanlen") === 1 &&
+          col("ok_alpha") === 1 && col("ok_stop") === 1).cast("int"))
+        .orderBy("doc_id"),
+      Some(s"""WITH c AS ($corpusSql),
+              |m AS (SELECT doc_id, lower(text) AS t,
+              |    string_split(lower(text), ' ') AS toks
+              |  FROM c),
+              |r AS (SELECT doc_id,
+              |    CAST(len(toks) AS BIGINT) AS n_words,
+              |    len(replace(t, ' ', '')) * 100 // len(toks) AS mean_len_centi,
+              |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              |      * 1000 // len(toks) AS alpha_milli,
+              |    CAST(len(list_intersect(toks,
+              |      ['the','a','of','to','and'])) AS BIGINT) AS n_stop
+              |  FROM m)
+              |SELECT doc_id, n_words, mean_len_centi, alpha_milli, n_stop,
+              |  CAST(n_words BETWEEN 20 AND 100000 AS INTEGER) AS ok_count,
+              |  CAST(mean_len_centi BETWEEN 300 AND 1000 AS INTEGER)
+              |    AS ok_meanlen,
+              |  CAST(alpha_milli >= 800 AS INTEGER) AS ok_alpha,
+              |  CAST(n_stop >= 2 AS INTEGER) AS ok_stop,
+              |  CAST(n_words BETWEEN 20 AND 100000
+              |    AND mean_len_centi BETWEEN 300 AND 1000
+              |    AND alpha_milli >= 800 AND n_stop >= 2 AS INTEGER) AS pass
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style IMPORTANCE RESAMPLING (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling",
     // deterministic unigram form): per-token importance weight =

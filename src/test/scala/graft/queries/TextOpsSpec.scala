@@ -105,6 +105,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs.head._2 === 0L && pairs.last._2 > 900L)
   }
 
+  test("q_gopher_rules: pass is exactly the conjunction, rules discriminate") {
+    val r = graft.SparkEntry.queries("q_gopher_rules")(spark, sf)
+      .localCheckpoint()
+    val bad = r.filter(col("pass") =!=
+      (col("ok_count") === 1 && col("ok_meanlen") === 1 &&
+        col("ok_alpha") === 1 && col("ok_stop") === 1).cast("int")).count()
+    assert(bad === 0)
+    assert(r.filter(col("pass") === 1).count() > 0)
+    assert(r.filter(col("pass") === 0).count() > 0, "rules must discriminate")
+    // sanity on the algebra: all-alphabetic corpus → alpha_milli = 1000
+    assert(r.filter(col("alpha_milli") < 900).count() === 0)
+  }
+
   test("ppl scoring: hand-checked doc against the fixed model") {
     // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
     // over 4 words → 3550000 (< threshold → kept)
