@@ -233,6 +233,36 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("cdx: member walk handles FEXTRA/FNAME/FCOMMENT header fields (RFC 1952)") {
+    // hand-assemble a member with all three optional fields set — our
+    // writer never emits them, but foreign archives may
+    val payload = "RFC 1952 member".getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f.toByte, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+      0, 0, 0, 0, 0, 0xff.toByte))
+    out.write(Array[Byte](3, 0)) // XLEN = 3
+    out.write(Array[Byte](1, 2, 3)) // FEXTRA body
+    out.write("name.txt".getBytes(UTF_8)); out.write(0) // FNAME
+    out.write("a comment".getBytes(UTF_8)); out.write(0) // FCOMMENT
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+    d.end()
+    def le32(v: Long): Array[Byte] = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    out.write(le32(crc.getValue)); out.write(le32(payload.length.toLong))
+    val bytes = out.toByteArray
+    val it = new WarcRead.GzMemberIter(new java.io.ByteArrayInputStream(bytes))
+    val (off, len, dec) = it.next()
+    assert(off === 0L && len === bytes.length.toLong)
+    assert(new String(dec, UTF_8) === "RFC 1952 member")
+    assert(!it.hasNext)
+  }
+
   test("cdx: a flipped payload byte is caught by the member CRC") {
     val dir = writeFixture(gzip = true)
     val conf = spark.sparkContext.hadoopConfiguration
