@@ -22,10 +22,28 @@ import graft.warc.WarcRead
   * extraction is per-row expression work; the filter's model joins are
   * broadcast (fixed vocab) and its per-doc scores meet the text in
   * forced shuffled-hash joins (score sides scale with the corpus);
-  * dedup is one text groupBy; packing is the per-shard prefix-sum
-  * window. Nothing all-pairs, nothing driver-side.
+  * dedup elects keepers on a 16-byte (xxhash64, length) fingerprint
+  * key and semi-joins winners back (the shuffle never keys on document
+  * bytes); packing is the per-shard prefix-sum window. Nothing
+  * all-pairs, nothing driver-side.
   */
 object CorpusPipeline {
+
+  /** Exact dedup by fingerprint-keyed election: the groupBy exchange
+    * carries (xxhash64(text), length(text)) — 16 bytes/row — never the
+    * document text as the shuffle key; winners (min doc_id per
+    * fingerprint) semi-join back on doc_id. The semi-join is forced
+    * shuffled-hash: the winner set is corpus-sized and Spark would
+    * byte-underestimate the post-agg side and broadcast it. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val winners = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"),
+        length(col("text")).cast("long").as("len"))
+      .groupBy("fp", "len").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(winners.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+  }
 
   /** Run (or resume) the pipeline.
     * @param extractSql engine-common extraction SQL over a STRING
@@ -78,10 +96,7 @@ object CorpusPipeline {
     }
 
     val (uniqDf, sDd) = Snapshot.stage(spark, root, "corpus_dedup",
-      Seq(sFl.key)) {
-      keptDf.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id", "text")
-    }
+      Seq(sFl.key)) { dedupExact(keptDf) }
 
     val (packDf, sPk) = Snapshot.stage(spark, root, "corpus_pack",
       Seq(sDd.key, s"budget:$budget", s"shards:$shards",

@@ -919,11 +919,21 @@ object TextOps {
               |    AS kept
               |FROM km ORDER BY doc_id""".stripMargin)),
 
-    // exact dedup: hash-groupBy on text
+    // exact dedup — FINGERPRINT-keyed election. Grouping directly on
+    // `text` would hash, serialize, and sort-compare multi-KB document
+    // keys through the exchange (at 100 TB that is the corpus' distinct
+    // bytes through the shuffle). Instead shuffle rows carry
+    // (xxhash64(text), length(text)) — 16 bytes — with length in the
+    // key so a 64-bit collision between different-length texts cannot
+    // silently merge groups (same-length collisions are 2^-64 and
+    // detectable downstream by the semi-join consumers that re-read
+    // the text). Same shape as the CCNet paragraph election above.
     QueryDef(
       "q_dedup_exact",
       (s, d) => corpus(s, d)
-        .groupBy("text")
+        .select(col("doc_id"), xxhash64(col("text")).as("fp"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy("fp", "len")
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
         .select("keeper", "n_copies")

@@ -196,6 +196,29 @@ class PlanQualitySpec extends AnyFunSuite {
       !ppl.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("exact dedup never shuffles with raw text as the key") {
+    // the election key must be the 16-byte (xxhash64, length)
+    // fingerprint — an Exchange hash-partitioned on `text` would push
+    // the corpus' distinct bytes through document-sized shuffle
+    // comparators at 100 TB
+    val sf = "/root/testdata/sf0.001"
+    def noTextKey(tag: String, plan: String): Unit =
+      for (line <- plan.linesIterator if line.contains("hashpartitioning"))
+        assert(!line.contains("text#"),
+          s"$tag shuffles on raw text:\n$line\nfull plan:\n$plan")
+    noTextKey("q_dedup_exact",
+      SparkEntry.queries("q_dedup_exact")(spark, sf)
+        .queryExecution.sparkPlan.toString())
+    import spark.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aa"), (3L, "bb"))
+      .toDF("doc_id", "text")
+    val stage = graft.jobs.CorpusPipeline.dedupExact(docs)
+      .queryExecution.sparkPlan.toString()
+    noTextKey("CorpusPipeline dedup stage", stage)
+    assert(!stage.contains("BroadcastHashJoin"),
+      s"winner semi-join must not broadcast a corpus-sized side:\n$stage")
+  }
+
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
     import spark.implicits._
     val joined = Seq(("u", -190000000L, -1699000000L, 1L))
