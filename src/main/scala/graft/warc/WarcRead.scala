@@ -146,13 +146,19 @@ object WarcRead {
     * record carries `WARC-Block-Digest` / `WARC-Payload-Digest`
     * headers (sha1, the CC convention) they are VERIFIED against the
     * decoded bytes — a flipped payload byte in a plain `.warc` is now
-    * as loud as the gz layout's CRC. `verifyDigests = false` is used
-    * ONLY by resync chain validation, where candidate acceptance must
-    * stay a structural property (a digest-corrupt true record must not
-    * silently vanish from the index — it must reach decode and fail
-    * THERE). */
+    * as loud as the gz layout's CRC. `verifyDigests = false` /
+    * `structuralOnly = true` are used ONLY by resync chain validation,
+    * where candidate acceptance must stay a structural property (WARC
+    * framing: version line, header syntax, Content-Length, record
+    * terminator). SEMANTIC checks — digest verification, HTTP
+    * header/body splitting, WARC-Date parsing — are skipped there so a
+    * true record with a truncated/folded HTTP payload or a malformed
+    * date does not silently vanish from the resync index (taking its
+    * predecessor's chain validation with it): it must reach decode and
+    * fail THERE, exactly like the gz layout does. */
   private[warc] def parseRecord(in: InputStream,
-      verifyDigests: Boolean = true): Option[WarcRecord] = {
+      verifyDigests: Boolean = true,
+      structuralOnly: Boolean = false): Option[WarcRecord] = {
     val version = readLine(in)
     if (version == null) return None
     require(version.startsWith("WARC/"), s"not a WARC record: '$version'")
@@ -172,9 +178,10 @@ object WarcRead {
       "missing WARC record terminator")
     val ctype = h.getOrElse("content-type", "")
     val (status, body) =
-      if (ctype.startsWith("application/http")) splitHttp(payload)
+      if (!structuralOnly && ctype.startsWith("application/http"))
+        splitHttp(payload)
       else (0, payload)
-    if (verifyDigests) {
+    if (verifyDigests && !structuralOnly) {
       for (want <- h.get("warc-block-digest") if want.startsWith("sha1:"))
         require(graft.warc.WarcWrite.sha1Digest(payload) == want,
           s"WARC-Block-Digest mismatch on record ${h.getOrElse("warc-record-id", "?")}")
@@ -184,7 +191,8 @@ object WarcRead {
     }
     Some(WarcRecord(
       url = h.getOrElse("warc-target-uri", ""),
-      tsUs = h.get("warc-date").map(parseDate).getOrElse(0L),
+      tsUs = if (structuralOnly) 0L
+             else h.get("warc-date").map(parseDate).getOrElse(0L),
       warcType = h.getOrElse("warc-type", ""),
       recordId = h.getOrElse("warc-record-id", ""),
       contentType = ctype,
@@ -323,9 +331,9 @@ object WarcRead {
       vin.seek(off)
       val cnt = new CountingInputStream(new BufferedInputStream(
         new NonClosingStream(vin), 1 << 16))
-      if (parseRecord(cnt, verifyDigests = false).isEmpty) return None
+      if (parseRecord(cnt, structuralOnly = true).isEmpty) return None
       val end = off + cnt.count
-      parseRecord(cnt, verifyDigests = false) // next must parse (or clean EOF)
+      parseRecord(cnt, structuralOnly = true) // next must parse (or clean EOF)
       Some(end)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -468,8 +476,17 @@ object WarcRead {
           val fs = FileSystem.get(p.toUri, conf.value)
           new GzMemberIter(new BufferedInputStream(fs.open(p), 1 << 16))
             .map { case (off, len, bytes) =>
-              val r = parseRecord(new java.io.ByteArrayInputStream(bytes))
+              val bin = new java.io.ByteArrayInputStream(bytes)
+              val r = parseRecord(bin)
                 .getOrElse(sys.error(s"empty gzip member at $f:$off"))
+              // the CDX contract addresses ONE record per member; a
+              // foreign archive that packs several must fail loudly
+              // here, not silently drop its trailing records
+              require(bin.available() == 0,
+                s"gzip member at $f:$off carries ${bin.available()} bytes " +
+                  "after its first record — cdxIndex requires the CC " +
+                  "one-record-per-member layout (use records() for " +
+                  "multi-record-member archives)")
               CdxEntry(r.url, r.tsUs, r.warcType, f, off, len)
             }
         }
@@ -482,6 +499,10 @@ object WarcRead {
     * truncation), so a green fetch PROVES the index is byte-exact. */
   def fetchMember(conf: org.apache.hadoop.conf.Configuration, file: String,
       offset: Long, length: Long): WarcRecord = {
+    require(offset >= 0 && length > 0 && length <= Int.MaxValue,
+      s"CDX range $file:$offset+$length out of bounds (length must be " +
+        "in (0, 2 GiB) — a per-record gzip member never legitimately " +
+        "reaches the single-allocation limit)")
     val p = new Path(file)
     val fs = FileSystem.get(p.toUri, conf)
     val in = fs.open(p)
@@ -495,8 +516,12 @@ object WarcRead {
     val (_, len, bytes) = it.next()
     require(len == length, s"member at $file:$offset is $len bytes, CDX says $length")
     require(!it.hasNext, s"CDX range $file:$offset+$length spans >1 member")
-    parseRecord(new java.io.ByteArrayInputStream(bytes))
+    val bin = new java.io.ByteArrayInputStream(bytes)
+    val rec = parseRecord(bin)
       .getOrElse(sys.error(s"empty record in member $file:$offset"))
+    require(bin.available() == 0,
+      s"member at $file:$offset packs >1 record — not a CC-layout archive")
+    rec
   }
 
   // ------------------------------------------------------------- reads

@@ -342,6 +342,97 @@ class WarcSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("resync chain validation is structural: a semantically-broken " +
+      "http record stays in the index and fails loudly at DECODE") {
+    // an application/http record whose payload has no header/body
+    // CRLFCRLF split (a truncated capture — WARC-Truncated territory).
+    // Structurally the WARC framing is perfect, so resync must keep it
+    // (and its predecessor, whose chain step parses it) in the index;
+    // the semantic malformation then fails LOUDLY at decode — it must
+    // never silently shrink the index, which is what a semantic check
+    // inside chain validation would do.
+    val good1 = WarcWrite.response("https://a.test/ok1",
+      1700000001000000L, "ok one".getBytes(UTF_8))
+    val bad = WarcWrite.encodeRecord("response", Seq(
+      "WARC-Record-ID" -> "<urn:graft:truncated>",
+      "WARC-Date" -> "2023-11-14T22:13:21Z",
+      "WARC-Target-URI" -> "https://a.test/bad",
+      "Content-Type" -> "application/http; msgtype=response"),
+      "HTTP/1.1 200 OK\r\nX-Truncated: mid-head".getBytes(UTF_8))
+    val good2 = WarcWrite.response("https://a.test/ok2",
+      1700000002000000L, "ok two".getBytes(UTF_8))
+    val dir = Files.createTempDirectory("warcspec")
+    Files.write(dir.resolve("part-00000.warc"), good1 ++ bad ++ good2)
+    withResync {
+      // the resync index itself must hold all three records: with the
+      // threshold at 1 byte this file takes the distributed path, and
+      // structural-only validation accepts the truncated-http record
+      val ex = intercept[Exception] {
+        WarcRead.records(spark, dir.toString).collect()
+      }
+      def crlf(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("CRLFCRLF")) || crlf(t.getCause))
+      assert(crlf(ex), s"expected the splitHttp failure at decode, got: $ex")
+    }
+  }
+
+  test("structural parse accepts what full decode rejects (http split, date)") {
+    val truncHttp = WarcWrite.encodeRecord("response", Seq(
+      "WARC-Record-ID" -> "<urn:graft:t1>",
+      "WARC-Date" -> "2023-11-14T22:13:21Z",
+      "WARC-Target-URI" -> "https://a.test/t1",
+      "Content-Type" -> "application/http; msgtype=response"),
+      "HTTP/1.1 200 OK\r\nX: no body split".getBytes(UTF_8))
+    assert(WarcRead.parseRecord(new java.io.ByteArrayInputStream(truncHttp),
+      structuralOnly = true).isDefined)
+    intercept[Exception](
+      WarcRead.parseRecord(new java.io.ByteArrayInputStream(truncHttp)))
+    val badDate = WarcWrite.encodeRecord("resource", Seq(
+      "WARC-Record-ID" -> "<urn:graft:t2>",
+      "WARC-Date" -> "not-a-timestamp",
+      "WARC-Target-URI" -> "https://a.test/t2",
+      "Content-Type" -> "application/octet-stream"),
+      "x".getBytes(UTF_8))
+    assert(WarcRead.parseRecord(new java.io.ByteArrayInputStream(badDate),
+      structuralOnly = true).isDefined)
+    intercept[Exception](
+      WarcRead.parseRecord(new java.io.ByteArrayInputStream(badDate)))
+  }
+
+  test("cdx: a member packing two records is rejected loudly") {
+    val r1 = WarcWrite.response("https://a.test/m1", 1700000001000000L,
+      "first".getBytes(UTF_8))
+    val r2 = WarcWrite.response("https://a.test/m2", 1700000002000000L,
+      "second".getBytes(UTF_8))
+    val dir = Files.createTempDirectory("warcspec")
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(r1); gz.write(r2); gz.close() // ONE member, two records
+    Files.write(dir.resolve("part-00000.warc.gz"), out.toByteArray)
+    val ex = intercept[Exception] {
+      WarcRead.cdxIndex(spark, dir.toString).collect()
+    }
+    def msg(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("one-record-per-member")) ||
+        msg(t.getCause))
+    assert(msg(ex), s"expected the one-record-per-member failure, got: $ex")
+    // records() (which has no per-member addressing contract) still
+    // reads both fine
+    val urls = WarcRead.records(spark, dir.toString).collect()
+      .map(_.url).sorted.toSeq
+    assert(urls === Seq("https://a.test/m1", "https://a.test/m2"))
+  }
+
+  test("cdx: fetchMember rejects out-of-range lengths before allocating") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val e1 = intercept[IllegalArgumentException](
+      WarcRead.fetchMember(conf, "file:/nope.warc.gz", 0L, 0L))
+    assert(e1.getMessage.contains("out of bounds"))
+    val e2 = intercept[IllegalArgumentException](
+      WarcRead.fetchMember(conf, "file:/nope.warc.gz", 0L, Int.MaxValue + 1L))
+    assert(e2.getMessage.contains("out of bounds"))
+  }
+
   test("record ids are deterministic AND unique per (url, ts, payload)") {
     val p = "x".getBytes(UTF_8)
     assert(WarcWrite.recordId("https://a.test/1", 1L, p) ===
