@@ -128,85 +128,11 @@ object TextRT {
   }
 }
 
-/** Deterministic greedy longest-match subword tokenizer (the BPE
-  * inference rule over a FIXED in-repo vocab): at each position take
-  * the longest vocab entry (4 > 3 > 2 code points) matching there,
-  * else a single-character token; spaces separate words and are not
-  * tokens themselves. Since no vocab entry contains a space, scanning
-  * the whole text while skipping spaces is exactly per-word
-  * tokenization — the form the DuckDB oracle replays with a recursive
-  * CTE over the DISTINCT word set. Defined over UNICODE CODE POINTS
-  * (DuckDB substr() counts characters, not UTF-16 units). Top-level
-  * object so codegen reaches tokenCount through a static forwarder. */
-object TokRT {
-  val Vocab4: Seq[String] = Seq("tion", "ment", "ther", "ight")
-  val Vocab3: Seq[String] = Seq(
-    "the", "ing", "ion", "and", "ent", "for", "ati", "ter", "est")
-  val Vocab2: Seq[String] = Seq(
-    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd", "ti",
-    "es", "or", "te", "of", "ed", "is", "it", "al", "ar", "st", "to",
-    "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve", "co", "me",
-    "de", "hi", "ri", "ro", "ic")
-  private val sets: Array[java.util.HashSet[String]] = {
-    val a = Array.fill(5)(new java.util.HashSet[String]())
-    Vocab4.foreach(a(4).add); Vocab3.foreach(a(3).add); Vocab2.foreach(a(2).add)
-    a
-  }
-  def tokenCount(lowered: UTF8String): Long = {
-    val cps = lowered.toString.codePoints().toArray
-    val n = cps.length
-    var i = 0
-    var cnt = 0L
-    while (i < n) {
-      if (cps(i) == ' ') i += 1
-      else {
-        var step = 1
-        var l = 4
-        while (l >= 2 && step == 1) {
-          if (i + l <= n && sets(l).contains(new String(cps, i, l))) step = l
-          l -= 1
-        }
-        cnt += 1
-        i += step
-      }
-    }
-    cnt
-  }
-
-  /** Token-ID space: vocab entries get their index in the concatenated
-    * (Vocab4 ++ Vocab3 ++ Vocab2) list; single-character fallback
-    * tokens get 1000 + code point (the vocab has < 1000 entries, so the
-    * spaces never collide). Single-sourced into the DuckDB oracle as a
-    * rendered CASE chain. */
-  val VocabIds: Map[String, Int] =
-    (Vocab4 ++ Vocab3 ++ Vocab2).zipWithIndex.toMap
-
-  /** tokenize_ids: the token-ID stream of ONE word (no spaces) under
-    * the same greedy longest-match rule as [[tokenCount]] — what a
-    * training pipeline actually feeds the model. */
-  def tokenIds(word: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val cps = word.toString.codePoints().toArray
-    val n = cps.length
-    val out = new scala.collection.mutable.ArrayBuffer[Int](n)
-    var i = 0
-    while (i < n) {
-      var step = 1
-      var id = -1
-      var l = 4
-      while (l >= 2 && step == 1) {
-        if (i + l <= n) {
-          val cand = new String(cps, i, l)
-          if (sets(l).contains(cand)) { step = l; id = VocabIds(cand) }
-        }
-        l -= 1
-      }
-      if (id < 0) id = 1000 + cps(i)
-      out += id
-      i += step
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
-  }
-}
+// The greedy longest-match subword tokenizer lives in
+// [[SubwordVocab]] — a parameterized, trie-backed vocab (arbitrary
+// size and token length) passed into the kernels below as a codegen
+// reference object. The in-repo default is the 1.2k-entry
+// resources/graft/subword_vocab.txt (regenerate: graft.tools.VocabGen).
 
 /** str_poly_hash(text) → BIGINT in [0, 1e9+7). Deterministic document
   * fingerprint (SURVEY.md training-data ops); also the shared hash
@@ -261,30 +187,43 @@ case class Simhash16Expr(text: Expression) extends UnaryExpression {
 }
 
 /** tokenize_ids(lowered_word) → ARRAY<INT>: the greedy longest-match
-  * token-ID stream of one word (vocab index, or 1000 + code point for
-  * single-char fallback tokens). */
-case class TokenizeIdsExpr(word: Expression) extends UnaryExpression {
+  * token-ID stream of one word (vocab index, or
+  * [[SubwordVocab.FallbackBase]] + code point for single-char fallback
+  * tokens). The vocab rides into codegen as a reference object, so any
+  * vocab — size and token length unbounded — compiles to the same
+  * generated code. */
+case class TokenizeIdsExpr(word: Expression, vocab: SubwordVocab)
+    extends UnaryExpression {
   override def child: Expression = word
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(w: Any): Any =
-    TokRT.tokenIds(w.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.TokRT.tokenIds($c)")
-  override protected def withNewChildInternal(c: Expression): TokenizeIdsExpr = copy(c)
+    vocab.tokenIds(w.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("subwordVocab", vocab,
+      "graft.expr.SubwordVocab")
+    defineCodeGen(ctx, ev, c => s"$v.tokenIds($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenizeIdsExpr =
+    copy(word = c)
 }
 
 /** tokenize_count(lowered_text) → BIGINT: greedy longest-match subword
-  * token count over the fixed vocab (pass text through lower() first). */
-case class TokenizeCountExpr(text: Expression) extends UnaryExpression {
+  * token count over `vocab` (pass text through lower() first). */
+case class TokenizeCountExpr(text: Expression, vocab: SubwordVocab)
+    extends UnaryExpression {
   override def child: Expression = text
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(t: Any): Any =
-    TokRT.tokenCount(t.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expr.TokRT.tokenCount($c)")
-  override protected def withNewChildInternal(c: Expression): TokenizeCountExpr = copy(c)
+    vocab.tokenCount(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.addReferenceObj("subwordVocab", vocab,
+      "graft.expr.SubwordVocab")
+    defineCodeGen(ctx, ev, c => s"$v.tokenCount($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): TokenizeCountExpr =
+    copy(text = c)
 }
 
 object TextFunctions {
@@ -293,9 +232,13 @@ object TextFunctions {
   def str_poly_hash(text: Column): Column =
     column(StrPolyHashExpr(expression(text)))
   def tokenize_count(loweredText: Column): Column =
-    column(TokenizeCountExpr(expression(loweredText)))
+    tokenize_count(loweredText, SubwordVocab.default)
+  def tokenize_count(loweredText: Column, vocab: SubwordVocab): Column =
+    column(TokenizeCountExpr(expression(loweredText), vocab))
   def tokenize_ids(loweredWord: Column): Column =
-    column(TokenizeIdsExpr(expression(loweredWord)))
+    tokenize_ids(loweredWord, SubwordVocab.default)
+  def tokenize_ids(loweredWord: Column, vocab: SubwordVocab): Column =
+    column(TokenizeIdsExpr(expression(loweredWord), vocab))
   def simhash16(loweredText: Column): Column =
     column(Simhash16Expr(expression(loweredText)))
   def shingle_hashes(loweredText: Column): Column =

@@ -47,7 +47,7 @@ object TextOps {
 
   /** Fixed in-repo unigram LM for the perplexity filter (q_ppl_filter):
     * word → negative log-probability in integer MICRO-NATS. A fixed
-    * model (like TokRT's vocab) — the gate's semantics are "score under
+    * model (like the subword vocab) — the gate's semantics are "score under
     * THIS model", so the values only need to be deterministic, ordered
     * plausibly, and single-sourced into both engines (the oracle VALUES
     * list is rendered from this Seq). */
@@ -142,71 +142,78 @@ object TextOps {
        |  range(1, greatest(len(toks) - 1, 1)),
        |  i -> ${ph("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
 
-  /** DuckDB replay of the greedy longest-match subword tokenizer
-    * (TokRT): a recursive CTE advancing one greedy match per step —
-    * run over the DISTINCT word set (words are ≤ ~20 chars, so the
-    * recursion is shallow and the row count tiny), then joined back to
-    * the per-doc word multiset. Requires WITH RECURSIVE and a prior
+  /** The default [[graft.expr.SubwordVocab]] rendered as a DuckDB
+    * VALUES table `vo(tok, tid, l)` — the SINGLE SOURCE for every
+    * tokenizer oracle (1.2k entries, arbitrary lengths; l counts code
+    * points to match DuckDB's character-based substr/len). */
+  private def vocabCte: String = {
+    val vs = graft.expr.SubwordVocab.default.entries.zipWithIndex.map {
+      case (w, i) =>
+        s"('${w.replace("'", "''")}', $i, ${w.codePointCount(0, w.length)})"
+    }
+    s"""vo(tok, tid, l) AS (SELECT * FROM (VALUES
+       |  ${vs.grouped(8).map(_.mkString(", ")).mkString(",\n|  ")})
+       |  v(tok, tid, l))""".stripMargin
+  }
+
+  /** Greedy longest-match steps per (distinct word, position),
+    * precomputed OUTSIDE the recursion (recursive terms cannot
+    * aggregate): the longest vocab entry matching at pos wins via
+    * max_by(tid, l); no match falls back to one code point with tid
+    * FallbackBase + unicode. Requires preceding `uw(w)` and the vocab
+    * CTE; yields `stp(w, pos, step, tid)`. */
+  private def stepCte: String =
+    s"""po AS (SELECT w, unnest(range(1, len(w) + 1)) AS pos FROM uw),
+       |stp AS (SELECT po.w, po.pos,
+       |    coalesce(max(vo.l), 1) AS step,
+       |    coalesce(max_by(vo.tid, vo.l),
+       |      ${graft.expr.SubwordVocab.FallbackBase}
+       |        + unicode(substr(po.w, po.pos, 1))) AS tid
+       |  FROM po LEFT JOIN vo ON substr(po.w, po.pos, vo.l) = vo.tok
+       |  GROUP BY po.w, po.pos)""".stripMargin
+
+  /** DuckDB replay of the greedy longest-match subword tokenizer: a
+    * recursive CTE following the precomputed per-position steps — run
+    * over the DISTINCT word set (tiny), then joined back to the
+    * per-doc word multiset. Requires WITH RECURSIVE and a prior
     * `src(doc_id, text)` CTE; yields `tc(doc_id, bpe_tokens)`. */
-  private[queries] def tokCountCtes: String = {
-    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
-    import graft.expr.TokRT
+  private[queries] def tokCountCtes: String =
     s"""wd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
        |  FROM src),
        |uw AS (SELECT DISTINCT w FROM wd),
+       |$vocabCte,
+       |$stepCte,
        |tk AS (
-       |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS cnt FROM uw
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM uw
        |  UNION ALL
-       |  SELECT w,
-       |    pos + CASE WHEN substr(w, pos, 4) IN (${inList(TokRT.Vocab4)}) THEN 4
-       |      WHEN substr(w, pos, 3) IN (${inList(TokRT.Vocab3)}) THEN 3
-       |      WHEN substr(w, pos, 2) IN (${inList(TokRT.Vocab2)}) THEN 2
-       |      ELSE 1 END,
-       |    cnt + 1
-       |  FROM tk WHERE pos <= len(w)),
+       |  SELECT t.w, t.pos + s.step, t.cnt + 1
+       |  FROM tk t JOIN stp s ON s.w = t.w AND s.pos = t.pos
+       |  WHERE t.pos <= len(t.w)),
        |wc AS (SELECT w, cnt FROM tk WHERE pos > len(w)),
        |tc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS bpe_tokens
        |  FROM wd JOIN wc USING (w) GROUP BY doc_id)""".stripMargin
-  }
-
-  /** DuckDB rendering of the greedy token-ID rule (TokRT.tokenIds):
-    * the matched token's id, single-sourced from VocabIds. */
-  private def tokIdCase: String = {
-    import graft.expr.TokRT
-    def arm(l: Int, ws: Seq[String]) = ws.map(w =>
-      s"WHEN substr(w, pos, $l) = '$w' THEN ${TokRT.VocabIds(w)}").mkString(" ")
-    s"""CASE ${arm(4, TokRT.Vocab4)} ${arm(3, TokRT.Vocab3)}
-       | ${arm(2, TokRT.Vocab2)}
-       | ELSE 1000 + unicode(substr(w, pos, 1)) END""".stripMargin
-  }
 
   /** DuckDB replay of the token-ID recursion: given a preceding
     * `src(doc_id, text)` CTE, yields `wd(doc_id, wi, w)` word
     * occurrences and `wt(w, j, tid)` per-DISTINCT-word token rows
     * (0-based in-word ordinal j). Requires WITH RECURSIVE. */
-  private def tokIdCtes: String = {
-    import graft.expr.TokRT
-    def inl(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def tokIdCtes: String =
     s"""wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
        |        FROM src),
        |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
        |uw AS (SELECT DISTINCT w FROM wd),
+       |$vocabCte,
+       |$stepCte,
        |tkr AS (
-       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS j,
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS j,
        |    CAST(0 AS BIGINT) AS tid
        |  FROM uw
        |  UNION ALL
-       |  SELECT w,
-       |    pos + CASE WHEN substr(w, pos, 4) IN (${inl(TokRT.Vocab4)}) THEN 4
-       |      WHEN substr(w, pos, 3) IN (${inl(TokRT.Vocab3)}) THEN 3
-       |      WHEN substr(w, pos, 2) IN (${inl(TokRT.Vocab2)}) THEN 2
-       |      ELSE 1 END,
-       |    j + 1,
-       |    CAST($tokIdCase AS BIGINT)
-       |  FROM tkr WHERE pos <= len(w)),
-       |wt AS (SELECT w, j - 1 AS j, tid FROM tkr WHERE j >= 1)""".stripMargin
-  }
+       |  SELECT t.w, t.pos + s.step, t.j + 1, CAST(s.tid AS BIGINT)
+       |  FROM tkr t JOIN stp s ON s.w = t.w AND s.pos = t.pos
+       |  WHERE t.pos <= len(t.w)),
+       |wt AS (SELECT w, j, tid FROM tkr WHERE j >= 0)""".stripMargin
 
   /** k=8 minhash signature as a PER-ROW array expression over the
     * shingle set — zero fan-out, zero shuffle. (Round-1 used
@@ -318,7 +325,7 @@ object TextOps {
 
     // REAL subword tokenization (greedy longest-match over the fixed
     // in-repo vocab — the deterministic BPE inference rule): per-doc
-    // token count from the TokRT codegen kernel, one tight per-row
+    // token count from the SubwordVocab trie codegen kernel, one tight per-row
     // loop, zero shuffle. The oracle replays the exact greedy rule with
     // a recursive CTE over the distinct word set.
     QueryDef(
@@ -337,7 +344,7 @@ object TextOps {
 
     // TOKEN-ID streams (what a training pipeline actually feeds the
     // model): per word, the greedy longest-match token IDs — vocab
-    // index for multi-char entries, 1000 + code point for single-char
+    // index for multi-char entries, FallbackBase + code point for single-char
     // fallback. Pure per-row expression work (split → codegen
     // tokenize_ids → posexplode), zero shuffle before the output sort;
     // the oracle replays the greedy rule as a recursive CTE over the
@@ -515,7 +522,7 @@ object TextOps {
 
     // sequence PACKING — the token-budget batching op before training:
     // documents pack greedily in doc_id order into bins of ≤2048 REAL
-    // subword tokens (the TokRT greedy longest-match tokenizer — not a
+    // subword tokens (the SubwordVocab greedy longest-match tokenizer — not a
     // length estimate), PER SHARD (shard = doc_id % 32) so the
     // running-sum window parallelizes — a single global ordering window
     // would serialize 10^12 rows through one partition; per-shard

@@ -80,51 +80,89 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fast == decl)
   }
 
-  test("tokenize_count: greedy longest-match over the fixed vocab") {
-    def tc(s: String): Long = texts.take(1).toDF("ignore")
-      .select(TextFunctions.tokenize_count(lit(s))).collect().head.getLong(0)
+  test("tokenize_count: greedy longest-match over a caller-supplied vocab") {
+    import graft.expr.SubwordVocab
+    // a tiny explicit vocab with entries of many lengths proves the
+    // trie picks the LONGEST match at each position, any length
+    val v = SubwordVocab(Seq("the", "ment", "ion", "or", "ing", "est",
+      "mentionable", "tokenization"))
+    def tc(s: String): Long = Seq(0).toDF("ignore")
+      .select(TextFunctions.tokenize_count(lit(s), v)).head().getLong(0)
     assert(tc("") === 0L)            // empty text → no tokens
     assert(tc("   ") === 0L)         // spaces are separators, not tokens
     assert(tc("the") === 1L)         // whole-word vocab hit
-    assert(tc("mention") === 2L)     // longest wins: "ment"(4) + "ion"(3)
-    assert(tc("theory") === 3L)      // "the" + "or" + "y" (greedy, not optimal)
+    assert(tc("mention") === 2L)     // "ment"(4) + "ion"(3)
+    assert(tc("mentionable") === 1L) // 11-char entry beats "ment"
+    assert(tc("tokenization") === 1L) // 12-char entry
     assert(tc("zzz") === 3L)         // unmatched chars → single-char tokens
     assert(tc("the the") === 2L)     // per-word; the space contributes 0
-    assert(tc("xtion") === 2L)       // "x" + "tion": fallback then 4-gram
-    // greedy is strictly per-position: "ingest" → "ing"(3) + "est"(3)
+    // greedy is strictly per-position: "ingest" → "ing" + "est"
     assert(tc("ingest") === 2L)
-    // kernel ≡ a hand-rolled per-word reference on real corpus-ish text
-    val ref = "the government mentioned that tokenization matters for training"
-    val expect = ref.split(" ", -1).map { w =>
+  }
+
+  test("default vocab: >= 1k entries, len > 4 entries fire; trie == naive") {
+    import graft.expr.SubwordVocab
+    val v = SubwordVocab.default
+    assert(v.entries.length >= 1000, s"vocab has ${v.entries.length} entries")
+    assert(v.maxLen > 4, s"maxLen ${v.maxLen} — must exceed the old 4 cap")
+    // the long entries genuinely fire on corpus words
+    def tc(s: String): Long = Seq(0).toDF("ignore")
+      .select(TextFunctions.tokenize_count(lit(s))).head().getLong(0)
+    val whole = v.entries.filter(_.length >= 6)
+    assert(whole.nonEmpty)
+    for (w <- whole.take(3)) assert(tc(w) === 1L, s"'$w' should be 1 token")
+    // trie kernel ≡ a naive per-length-Set longest-match reference
+    val byLen = v.entries.groupBy(_.length).view.mapValues(_.toSet).toMap
+    val lens = byLen.keys.toSeq.sorted.reverse
+    def naive(text: String): Long = text.split(" ", -1).map { w =>
       var i = 0; var c = 0L
       while (i < w.length) {
-        val step =
-          if (i + 4 <= w.length && graft.expr.TokRT.Vocab4.contains(w.substring(i, i + 4))) 4
-          else if (i + 3 <= w.length && graft.expr.TokRT.Vocab3.contains(w.substring(i, i + 3))) 3
-          else if (i + 2 <= w.length && graft.expr.TokRT.Vocab2.contains(w.substring(i, i + 2))) 2
-          else 1
+        val step = lens.find(l => i + l <= w.length &&
+          byLen(l).contains(w.substring(i, i + l))).getOrElse(1)
         c += 1; i += step
       }
       c
     }.sum
-    assert(tc(ref) === expect)
+    val samples = Seq(
+      "the government mentioned that tokenization matters for training",
+      "customer orders shipped in groups", "zzz qqq", "",
+      v.entries.take(40).mkString(""), v.entries.takeRight(40).mkString(" "))
+    for (s <- samples) assert(tc(s) === naive(s), s"mismatch on '$s'")
   }
 
   test("tokenize_ids: greedy id stream, ids single-sourced from the vocab") {
-    import graft.expr.TokRT
+    import graft.expr.SubwordVocab
+    val v = SubwordVocab(Seq("the", "ment", "ion", "or"))
     def ids(w: String): Seq[Int] = Seq(w).toDF("w")
-      .select(TextFunctions.tokenize_ids($"w")).collect()
+      .select(TextFunctions.tokenize_ids($"w", v)).collect()
       .head.getSeq[Int](0).toSeq
+    val fb = SubwordVocab.FallbackBase
     assert(ids("") === Seq.empty)
-    assert(ids("mention") ===
-      Seq(TokRT.VocabIds("ment"), TokRT.VocabIds("ion")))
-    assert(ids("theory") ===
-      Seq(TokRT.VocabIds("the"), TokRT.VocabIds("or"), 1000 + 'y'.toInt))
-    assert(ids("zq") === Seq(1000 + 'z'.toInt, 1000 + 'q'.toInt))
-    // id stream length always equals tokenize_count of the same word
+    assert(ids("mention") === Seq(1, 2))        // "ment", "ion"
+    assert(ids("theory") === Seq(0, 3, fb + 'y'.toInt))
+    assert(ids("zq") === Seq(fb + 'z'.toInt, fb + 'q'.toInt))
+    // id stream length always equals tokenize_count under the DEFAULT
+    // vocab too (stream and count share one greedy walk)
     for (w <- Seq("the", "mention", "ingest", "xtion", "government"))
-      assert(ids(w).length.toLong === Seq(w).toDF("w")
-        .select(TextFunctions.tokenize_count($"w")).head().getLong(0))
+      assert(Seq(w).toDF("w").select(TextFunctions.tokenize_ids($"w"))
+        .head().getSeq[Int](0).length.toLong ===
+        Seq(w).toDF("w").select(TextFunctions.tokenize_count($"w"))
+          .head().getLong(0))
+  }
+
+  test("vocab ships as a serialized reference object, trie rebuilds") {
+    import graft.expr.SubwordVocab
+    val v = SubwordVocab(Seq("ab", "abc"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(v); oos.close()
+    val v2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[SubwordVocab]
+    assert(v2 === v) // equality on entries
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(v2.tokenCount(UTF8String.fromString("abcab")) === 2L) // "abc"+"ab"
+    intercept[IllegalArgumentException](SubwordVocab(Seq("a b"))) // no spaces
+    intercept[IllegalArgumentException](SubwordVocab(Seq("ab", "ab"))) // dups
   }
 
   test("kernels agree between codegen and interpreted eval") {
