@@ -11,12 +11,14 @@ import graft.warc.WarcRead
 /** The snapshotted crawl→training-set pipeline — the webtext
   * counterpart of [[Pipeline]] (J9 resumability applied to the corpus
   * side): archive scan → HTML extraction → quality filter (perplexity +
-  * repetition) → exact dedup → token-budget packing, every stage an
-  * immutable parquet set + manifest with lineage keys chaining back to
-  * the input archive. A killed run resumes from the last committed
+  * repetition) → exact dedup → fuzzy (MinHash-LSH) near-dedup →
+  * token-budget packing — the full RefinedWeb-style chain, every stage
+  * an immutable parquet set + manifest with lineage keys chaining back
+  * to the input archive. A killed run resumes from the last committed
   * stage with ZERO recompute of committed work; a changed parameter
-  * (model threshold, budget) changes the lineage key and recomputes
-  * only from the first affected stage.
+  * (model threshold, jaccard cut, budget) changes the lineage key and
+  * recomputes only from the first affected stage — in particular the
+  * expensive fuzzy step re-runs ALONE on a threshold change.
   *
   * Scale shape per stage: archive scan is one task per gz shard;
   * extraction is per-row expression work; the filter's model joins are
@@ -45,6 +47,30 @@ object CorpusPipeline {
       .select("doc_id", "text")
   }
 
+  /** Fuzzy (MinHash-LSH) near-dup removal — the RefinedWeb/CCNet
+    * "fuzzy" step after exact dedup: banded LSH candidate pairs over
+    * word-3-gram minhash signatures → exact-jaccard verify ≥
+    * `jaccKeepMilli`/1000 → connected components (min-label
+    * propagation, O(cluster diameter) rounds) → keep each cluster's
+    * min doc_id. Bucketed end to end: signatures are per-row codegen,
+    * candidates come from band equi-joins, the component graph is
+    * pair-sized — nothing all-pairs, nothing driver-side. The loser
+    * anti-join is forced shuffled-hash (post-agg side, Spark would
+    * byte-underestimate and broadcast it at any true size). */
+  def dedupNear(spark: SparkSession, docs: DataFrame,
+      jaccKeepMilli: Long): DataFrame = {
+    val pairs = graft.queries.TextOps.verifiedPairsOf(spark, docs,
+      jaccKeepMilli)
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    val losers = graft.util.LabelProp
+      .components(spark, edges, debugTag = "neardup")
+      .filter(col("comp") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    docs.join(losers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+  }
+
   /** Run (or resume) the pipeline.
     * @param extractSql engine-common extraction SQL over a STRING
     *   column literally named `page` (the rendered htmlTextSql chain)
@@ -53,7 +79,8 @@ object CorpusPipeline {
   def run(spark: SparkSession, warcGzDir: String, root: String,
       extractSql: String, pplVocab: Seq[(String, Long)], pplOov: Long,
       pplKeepBelow: Long, repMaxMilli: Long = 100L, budget: Long = 2048L,
-      shards: Long = 32L, reportShards: Long = 4L)
+      shards: Long = 32L, reportShards: Long = 4L,
+      nearJaccMilli: Long = 500L)
       : (DataFrame, Map[String, StageResult]) = {
     import spark.implicits._
 
@@ -98,13 +125,18 @@ object CorpusPipeline {
     val (uniqDf, sDd) = Snapshot.stage(spark, root, "corpus_dedup",
       Seq(sFl.key)) { dedupExact(keptDf) }
 
+    val (nearDf, sNd) = Snapshot.stage(spark, root, "corpus_neardup",
+      Seq(sDd.key, s"jacc>=$nearJaccMilli")) {
+      dedupNear(spark, uniqDf, nearJaccMilli)
+    }
+
     val (packDf, sPk) = Snapshot.stage(spark, root, "corpus_pack",
-      Seq(sDd.key, s"budget:$budget", s"shards:$shards",
+      Seq(sNd.key, s"budget:$budget", s"shards:$shards",
         s"report:$reportShards")) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      uniqDf
+      nearDf
         .select(col("doc_id"), col("text"),
           pmod(col("doc_id"), lit(shards)).as("shard"))
         .filter(col("shard") < reportShards)
@@ -118,6 +150,7 @@ object CorpusPipeline {
     }
 
     (packDf, Map("corpus_extract" -> sEx, "corpus_filter" -> sFl,
-      "corpus_dedup" -> sDd, "corpus_pack" -> sPk))
+      "corpus_dedup" -> sDd, "corpus_neardup" -> sNd,
+      "corpus_pack" -> sPk))
   }
 }

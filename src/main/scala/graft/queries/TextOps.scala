@@ -243,10 +243,20 @@ object TextOps {
     * r4-kNN rule every ANN join follows). */
   private val dedupBroadcastMaxRows = 1000000L
 
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairsOf(s, corpus(s, d))
+
+  /** [[verifiedPairs]] over an arbitrary (doc_id, text) DataFrame —
+    * the reusable form [[graft.jobs.CorpusPipeline]]'s near-dup stage
+    * consumes. */
+  private[graft] def verifiedPairsOf(s: SparkSession, docs: DataFrame,
+      keepMilli: Long = 500L): DataFrame = {
     // materialize once: feeds the band build, BOTH verify sides and the
     // broadcast-bound count (previously recomputed per consumer)
-    val sets = shingled(s, d).localCheckpoint()
+    val sets = docs
+      .select(col("doc_id"), shingleSet(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .localCheckpoint()
     val n = sets.count()
     def bounded(df: DataFrame, est: Long) =
       graft.util.Joins.boundedBroadcast(df, est, dedupBroadcastMaxRows)
@@ -270,9 +280,46 @@ object TextOps {
       .withColumn("n_int", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jacc1000",
         expr("n_int * 1000 DIV (size(s1) + size(s2) - n_int)"))
-      .filter(col("jacc1000") >= 500)
+      .filter(col("jacc1000") >= keepMilli)
       .select("d1", "d2", "jacc1000")
   }
+
+  /** DuckDB near-dup LOSER set over a preceding `<src>(doc_id, text)`
+    * CTE: the full MinHash-LSH → exact-jaccard-verify → transitive
+    * closure chain, yielding `ndl(doc_id)` = docs whose near-dup
+    * cluster keeper is a smaller id. Names are nd_-prefixed so the
+    * fragment composes into larger oracle chains (the corpus-pipeline
+    * gate). Requires WITH RECURSIVE. */
+  private[graft] def nearDupLosersCte(src: String,
+      keepMilli: Long = 500L): String =
+    s"""nd_tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+       |  FROM $src),
+       |nd_st AS (SELECT doc_id, $shingleSetSql AS shs FROM nd_tk),
+       |nd_sh AS (SELECT doc_id, unnest(shs) AS x FROM nd_st),
+       |nd_ex AS (SELECT doc_id, x, unnest(range(0, 8)) AS j FROM nd_sh),
+       |nd_sig AS (SELECT doc_id, j,
+       |  CAST(min(((1 + j * 2) * x % 1000000007 + j * 17 % 1000000007)
+       |       % 1000000007) AS BIGINT) AS mh
+       |  FROM nd_ex GROUP BY doc_id, j),
+       |nd_bands AS (SELECT doc_id, j // 2 AS band,
+       |    min(mh) AS mh_a, max(mh) AS mh_b
+       |  FROM nd_sig GROUP BY doc_id, j // 2),
+       |nd_pairs AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM nd_bands l JOIN nd_bands r ON l.band = r.band
+       |    AND l.mh_a = r.mh_a AND l.mh_b = r.mh_b
+       |    AND l.doc_id < r.doc_id),
+       |nd_vp AS (SELECT d1, d2
+       |  FROM nd_pairs JOIN nd_st a ON a.doc_id = d1
+       |    JOIN nd_st b ON b.doc_id = d2
+       |  WHERE len(list_intersect(a.shs, b.shs)) * 1000
+       |    // (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))
+       |    >= $keepMilli),
+       |nd_e AS (SELECT d1 AS a, d2 AS b FROM nd_vp
+       |  UNION SELECT d2, d1 FROM nd_vp
+       |  UNION SELECT d1, d1 FROM nd_vp UNION SELECT d2, d2 FROM nd_vp),
+       |nd_r AS (SELECT a, b FROM nd_e
+       |  UNION SELECT nd_r.a, nd_e.b FROM nd_r JOIN nd_e ON nd_r.b = nd_e.a),
+       |ndl AS (SELECT a AS doc_id FROM nd_r GROUP BY a HAVING min(b) <> a)""".stripMargin
 
   /** DuckDB CTE prefix ending in `vp(d1, d2, jacc1000)` — the oracle
     * mirror of [[verifiedPairs]] (RECURSIVE so callers may append a

@@ -378,7 +378,10 @@ object WebText {
            |    AND (rp.t3 - rp.d3) * 1000 // greatest(rp.t3, 1) <= 100),
            |dd AS (SELECT min(doc_id) AS doc_id, text FROM fl
            |  GROUP BY text),
-           |src AS (SELECT doc_id, text FROM dd WHERE doc_id % 32 < 4),
+           |${TextOps.nearDupLosersCte("dd")},
+           |nd AS (SELECT doc_id, text FROM dd
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM ndl)),
+           |src AS (SELECT doc_id, text FROM nd WHERE doc_id % 32 < 4),
            |${TextOps.tokCountCtes},
            |t AS (SELECT s.doc_id, tc.bpe_tokens AS toks, s.doc_id % 32 AS shard
            |  FROM src s JOIN tc ON s.doc_id = tc.doc_id),
