@@ -46,6 +46,53 @@ object OsmQueries {
         .localCheckpoint()
     }
 
+  /** Deterministic MULTI-VERSION (history) fixture — the reference's
+    * `history-*` test ladder shape (/root/reference/bin/run-tests.sh:
+    * 4-8, HistoricalInformation src/lib.rs:179): version chains per id,
+    * `visible=false` deletions (including a delete→recreate chain on
+    * node 7), tag/coord/ref/member churn across versions, and empty
+    * tag/ref/member lists on the deleted versions. 125 node + 20 way +
+    * 6 relation rows = 151 entities over 63 ids. */
+  private[graft] def historyFixture(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[graft.model.OsmEntity] = {
+    import s.implicits._
+    import graft.model.{OsmEntity, OsmKind, OsmMember, OsmTag}
+    def ts(i: Int, v: Int): Long = 1500000000000L + (i * 10L + v) * 1000L
+    val nodes = for {
+      i <- 1 to 50
+      nv = 1 + (i % 4)
+      v <- 1 to nv
+      vis = !(i % 5 == 0 && v == nv) && !(i == 7 && v == 2)
+    } yield OsmEntity(OsmKind.Node, i.toLong, v, vis,
+      Some(i * 1000L + v), Some(-i * 1000L - v), ts(i, v), 9000L + v,
+      100 + (i % 3), s"u${i % 3}",
+      if (vis) Seq(OsmTag("name", s"n$i"), OsmTag("v", v.toString))
+      else Seq.empty, Seq.empty, Seq.empty)
+    val ways = for {
+      i <- 1 to 10
+      nv = 1 + (i % 3)
+      v <- 1 to nv
+      vis = !(i % 4 == 0 && v == nv)
+    } yield OsmEntity(OsmKind.Way, i.toLong, v, vis, None, None,
+      ts(100 + i, v), 9100L + v, 100 + (i % 3), s"u${i % 3}",
+      if (vis) Seq(OsmTag("highway", s"h$v")) else Seq.empty,
+      if (vis) Seq.tabulate(2 + (v % 3))(j => (i + j * 7 + v).toLong)
+      else Seq.empty, Seq.empty)
+    val rels = for {
+      i <- 1 to 3
+      v <- 1 to 2
+      vis = !(i == 3 && v == 2)
+    } yield OsmEntity(OsmKind.Relation, i.toLong, v, vis, None, None,
+      ts(200 + i, v), 9200L + v, 100 + (i % 3), s"u${i % 3}",
+      if (vis) Seq(OsmTag("type", "multipolygon")) else Seq.empty,
+      Seq.empty,
+      if (vis) Seq(OsmMember(OsmKind.Node, i.toLong, "admin_centre"),
+        OsmMember(OsmKind.Way, i.toLong, s"outer$v"),
+        OsmMember(OsmKind.Relation, ((i % 3) + 1).toLong, ""))
+      else Seq.empty)
+    s.createDataset(nodes ++ ways ++ rels)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // master property: pbf → apidb tables → reassemble ≡ original
@@ -61,6 +108,38 @@ object OsmQueries {
       },
       Some("""SELECT CAST(45000 AS BIGINT) AS n_entities,
              |       CAST(0 AS BIGINT) AS n_diffs""".stripMargin)),
+
+    // HISTORY round trip (reference history-* fixtures): a
+    // multi-version stream with deletions survives BOTH hops —
+    // fixture → PBF file → decode ≡ fixture, and decode → apidb
+    // tables → reassemble ≡ decode. Every reassembly join keys on
+    // (id, version), so version chains must neither collapse nor
+    // cross-contaminate; visible=false rows must keep their identity
+    // fields through the PBF Info encoding.
+    QueryDef(
+      "q_osm_roundtrip_history",
+      (s, _) => {
+        import s.implicits._
+        val osm = historyFixture(s).localCheckpoint()
+        val dir = graft.util.Staging.dir("history_pbf", "fixture")
+          .resolve("history.osm.pbf").toString
+        graft.pbf.PbfWrite.write(s, osm, dir, partitions = 4)
+        val back = graft.pbf.PbfRead.read(s, dir).localCheckpoint()
+        val dPbf = Normalize.diffCount(osm, back)
+        val dTables = Normalize.diffCount(back,
+          Normalize.reassemble(s, Normalize.demux(back)))
+        val multiIds = back.toDF().groupBy("kind", "id").count()
+          .filter(col("count") > 1).count()
+        val invisible = back.filter(e => !e.visible).count()
+        Seq((back.count(), multiIds, invisible, dPbf, dTables))
+          .toDF("n_entities", "n_multi_ids", "n_invisible",
+            "n_diffs_pbf", "n_diffs_tables")
+      },
+      Some("""SELECT CAST(151 AS BIGINT) AS n_entities,
+             |  CAST(48 AS BIGINT) AS n_multi_ids,
+             |  CAST(14 AS BIGINT) AS n_invisible,
+             |  CAST(0 AS BIGINT) AS n_diffs_pbf,
+             |  CAST(0 AS BIGINT) AS n_diffs_tables""".stripMargin)),
 
     // A5/A6 as surveyed: pg_dump COPY-text interop — fixture → COPY
     // dump dir → read back → reassemble ≡ original (tags canonicalized

@@ -39,6 +39,29 @@ class NormalizeSpec extends AnyFunSuite {
     assert(Normalize.diffCount(osm, back) == 0)
   }
 
+  test("multi-version reassembly: version chains survive and never " +
+      "cross-contaminate") {
+    // the niue fixture is single-version; this drives the (id, version)
+    // join keys with real history — version chains, a delete→recreate,
+    // per-version tag/ref churn, empty lists on deleted versions
+    val hist = graft.queries.OsmQueries.historyFixture(spark)
+    val db = Normalize.demux(hist)
+    val back = Normalize.reassemble(spark, db).cache()
+    assert(back.count() == hist.count())
+    assert(Normalize.diffCount(hist, back) == 0)
+    // node 7's delete→recreate chain survives verbatim
+    val n7 = back.filter(e => e.kind == OsmKind.Node && e.id == 7L)
+      .collect().sortBy(_.version)
+    assert(n7.map(_.version).toSeq == Seq(1, 2, 3, 4))
+    assert(n7.map(_.visible).toSeq == Seq(true, false, true, true))
+    assert(n7(1).tags.isEmpty && n7(2).tags.nonEmpty)
+    // per-version way refs stay version-local (no cross-version bleed)
+    val w2 = back.filter(e => e.kind == OsmKind.Way && e.id == 2L)
+      .collect().sortBy(_.version)
+    assert(w2.map(_.refs.length).toSeq == Seq(3, 4, 2)) // 2 + (v % 3)
+    assert(w2.map(_.refs.toList).distinct.length == w2.length)
+  }
+
   test("diffCount detects a single perturbed element") {
     val db = Normalize.demux(osm)
     val back = Normalize.reassemble(spark, db)
