@@ -324,7 +324,7 @@ object WebText {
 
     // END-TO-END RESUMABLE CORPUS PIPELINE (jobs/CorpusPipeline — the
     // webtext counterpart of the geo Pipeline's J9 resumability):
-    // crawl archive in, training-set pack report out, through FOUR
+    // crawl archive in, training-set pack report out, through FIVE
     // snapshotted stages (archive scan+extract → perplexity+repetition
     // filter → exact dedup → token-budget packing), each an immutable
     // parquet set + manifest whose lineage key chains back to the input

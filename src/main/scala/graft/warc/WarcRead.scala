@@ -366,9 +366,59 @@ object WarcRead {
   /** One CDX-style index row: where record `url`@`tsUs` lives inside a
     * `.warc.gz` archive — `offset`/`length` delimit the record's OWN
     * gzip member, so a consumer fetches one page with a single bounded
-    * range read + gunzip (the Common-Crawl index contract). */
-  final case class CdxEntry(url: String, tsUs: Long, warcType: String,
-      file: String, offset: Long, length: Long)
+    * range read + gunzip (the Common-Crawl index contract). `surt` is
+    * the index's SORT KEY — [[cdxIndex]] returns the rows globally
+    * surt-ordered, so persisted parts serve prefix lookups from a
+    * bounded key range. */
+  final case class CdxEntry(surt: String, url: String, tsUs: Long,
+      warcType: String, file: String, offset: Long, length: Long)
+
+  /** SURT key (Sort-friendly URI Reordering Transform), the CC index
+    * spelling: fragment and scheme dropped, userinfo dropped, host
+    * label-reversed and comma-joined, default ports (80/443) dropped,
+    * then `)` + path?query — the whole key lowercased. Host-grouped
+    * lexicographic order is what makes by-domain/by-prefix index
+    * queries range scans. */
+  def surtKey(url: String): String = {
+    val noFrag = url.indexOf('#') match {
+      case -1 => url
+      case h => url.substring(0, h)
+    }
+    val rest = noFrag.indexOf("://") match {
+      case -1 => noFrag
+      case i => noFrag.substring(i + 3)
+    }
+    val (auth, path) = rest.indexOf('/') match {
+      case -1 => (rest, "/")
+      case s => (rest.substring(0, s), rest.substring(s))
+    }
+    val hostPort = (auth.lastIndexOf('@') match {
+      case -1 => auth
+      case a => auth.substring(a + 1)
+    }).toLowerCase(java.util.Locale.ROOT)
+    val (host, port) = hostPort.lastIndexOf(':') match {
+      case c if c >= 0 && c < hostPort.length - 1 &&
+          hostPort.substring(c + 1).forall(_.isDigit) =>
+        (hostPort.substring(0, c), hostPort.substring(c + 1))
+      case _ => (hostPort, "")
+    }
+    val revHost = host.split('.').reverse.mkString(",")
+    val portSfx = if (port.isEmpty || port == "80" || port == "443") ""
+      else ":" + port
+    revHost + portSfx + ")" + path.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Bounded prefix lookup over a CDX index: rows whose SURT key
+    * starts with `surtPrefix` (e.g. `"test,a)/"` for a whole host,
+    * `"com,example)/images/"` for a path subtree). Over a
+    * parquet-persisted index the StringStartsWith predicate pushes
+    * into the scan, and because [[cdxIndex]] output is globally
+    * surt-sorted the part/row-group min-max stats confine the read to
+    * the matching key range — the serving-side lookup never scans the
+    * whole index. */
+  def cdxLookup(index: Dataset[CdxEntry], surtPrefix: String)
+      : Dataset[CdxEntry] =
+    index.filter(col("surt").startsWith(surtPrefix))
 
   /** Walk the gzip MEMBERS of a multi-member stream, yielding
     * (memberStartOffset, memberCompressedLength, decompressedBytes).
@@ -462,7 +512,11 @@ object WarcRead {
     * one row per record with the exact (offset, length) of its OWN gzip
     * member. One sequential pass per shard — exactly how Common Crawl
     * builds its index; at 100 TB the ~100k shards index in parallel,
-    * one task each, nothing on the driver. */
+    * one task each, nothing on the driver. The result is globally
+    * SURT-ORDERED (range partitioned + sorted within parts — the CC
+    * index contract), so persisting it yields sorted parts that serve
+    * [[cdxLookup]] prefix queries from a bounded range; the sort
+    * shuffles only the ~60 B index rows, never archive bytes. */
   def cdxIndex(spark: SparkSession, path: String): Dataset[CdxEntry] = {
     import spark.implicits._
     val files = partFiles(spark, path).map(_._1).filter(_.endsWith(".gz"))
@@ -487,10 +541,12 @@ object WarcRead {
                   "after its first record — cdxIndex requires the CC " +
                   "one-record-per-member layout (use records() for " +
                   "multi-record-member archives)")
-              CdxEntry(r.url, r.tsUs, r.warcType, f, off, len)
+              CdxEntry(surtKey(r.url), r.url, r.tsUs, r.warcType, f, off, len)
             }
         }
       }
+      .repartitionByRange(files.size, col("surt"), col("tsUs"))
+      .sortWithinPartitions("surt", "tsUs")
   }
 
   /** Random-access fetch of ONE record through its CDX entry: a single

@@ -423,6 +423,48 @@ class WarcSpec extends AnyFunSuite {
     assert(urls === Seq("https://a.test/m1", "https://a.test/m2"))
   }
 
+  test("cdx: surt keys follow the CC spelling") {
+    assert(WarcRead.surtKey("https://www.Example.COM/Path/Page?Q=1#frag")
+      === "com,example,www)/path/page?q=1")
+    assert(WarcRead.surtKey("http://a.b.test:8080/x") === "test,b,a:8080)/x")
+    assert(WarcRead.surtKey("https://host.test") === "test,host)/")
+    assert(WarcRead.surtKey("http://user@host.test:80/y") === "test,host)/y")
+    assert(WarcRead.surtKey("https://host.test:443/z") === "test,host)/z")
+  }
+
+  test("cdx: index is globally surt-sorted; prefix lookup fetches a " +
+      "bounded range through parquet pushdown") {
+    val dir = writeFixture(gzip = true)
+    val idx = WarcRead.cdxIndex(spark, dir)
+    // global order: per-partition key runs, concatenated in partition
+    // order, must equal the fully sorted key sequence
+    val runs = idx.rdd.mapPartitionsWithIndex { (i, it) =>
+      Iterator.single((i, it.map(e => (e.surt, e.tsUs)).toSeq))
+    }.collect().sortBy(_._1).flatMap(_._2).toSeq
+    assert(runs === runs.sorted, "index parts are not globally surt-ordered")
+    // persist → prefix lookup → bounded fetch round trip
+    val out = Files.createTempDirectory("cdxidx").resolve("idx").toString
+    idx.write.parquet(out)
+    import spark.implicits._
+    val back = spark.read.parquet(out).as[WarcRead.CdxEntry]
+    val hits = WarcRead.cdxLookup(back, "test,a)/").collect()
+      .filter(_.warcType == "response")
+    assert(hits.map(_.url).sorted.toSeq === fixture.map(_._1).sorted)
+    // the StartsWith predicate reaches the parquet scan
+    val plan = WarcRead.cdxLookup(back, "test,a)/")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("StartsWith"),
+      s"prefix filter not pushed:\n$plan")
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (e <- hits) {
+      val r = WarcRead.fetchMember(conf, e.file, e.offset, e.length)
+      val want = fixture.find(_._1 === e.url).get
+      assert(r.payload.toSeq === want._3.toSeq)
+    }
+    // a prefix outside the host matches nothing
+    assert(WarcRead.cdxLookup(back, "test,zzz)/").isEmpty)
+  }
+
   test("cdx: fetchMember rejects out-of-range lengths before allocating") {
     val conf = spark.sparkContext.hadoopConfiguration
     val e1 = intercept[IllegalArgumentException](
