@@ -202,16 +202,8 @@ object SpatialJoin {
     def hinted(idx: DataFrame, estRows: Long): DataFrame =
       graft.util.Joins.boundedBroadcast(idx, estRows, p.knnBroadcastMaxRows)
     val diskWidth = 2L * p.knnMaxRing + 1L
-    val centIdx = centresM.select(col("relation_id").as("c_rel"),
-        col("c_lat7"), col("c_lon7"))
-      .withColumn("ccell", G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
-
-    def d2: Column = {
-      val dlat = col("lat7") - col("c_lat7")
-      val dlonRaw = abs(col("lon7") - col("c_lon7"))
-      val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
-      dlat * dlat + dlon * dlon
-    }
+    val centIdx = knnCentIdx(centresM, p)
+    def d2: Column = knnD2
     // Probe — centre-side disk index, one row per page on the big side
     val centDisk = centIdx.withColumn("dcell",
       explode(G.cell_disk(col("ccell"), lit(p.knnMaxRing))))
@@ -259,6 +251,122 @@ object SpatialJoin {
     // each page is in exactly one branch, so per-branch argmin + union
     gather(probe.filter(col("d2found").isNotNull), centGather, gMin, p.knnLevel)
       .union(gather(fbHit, centFallback, 0, p.knnLevel - 1))
+  }
+
+  /** Wrapped-longitude squared distance page↔centre (1e-7° ints; |Δx|
+    * wraps at the antimeridian, |Δy| needs no clamp). Shared by the
+    * k=1 and k>1 kNN paths. */
+  private def knnD2: Column = {
+    val dlat = col("lat7") - col("c_lat7")
+    val dlonRaw = abs(col("lon7") - col("c_lon7"))
+    val dlon = least(dlonRaw, lit(3600000000L) - dlonRaw)
+    dlat * dlat + dlon * dlon
+  }
+
+  private def knnCentIdx(centresM: DataFrame, p: Params): DataFrame =
+    centresM.select(col("relation_id").as("c_rel"),
+        col("c_lat7"), col("c_lon7"))
+      .withColumn("ccell",
+        G.cell_encode(col("c_lat7"), col("c_lon7"), lit(p.knnLevel)))
+
+  def knnCentresK(spark: SparkSession, points: DataFrame,
+      centres: DataFrame, p: Params, k: Int): DataFrame =
+    knnCentresK(spark, points, CentreIndex.of(centres), p, k)
+
+  /** J6 at rank ≤ k: the k nearest centres per page, EXACT, as
+    * (url, rank 1..k, nn_relation_id). Same three-phase shape as
+    * [[knnCentres]] with the gather radius re-derived from the K-TH
+    * candidate distance:
+    *
+    *  - main probe aggregates the k smallest candidate distances in
+    *    the page's radius-`knnMaxRing` disk; a page whose disk holds
+    *    < k candidates takes the fallback;
+    *  - fallback probes radius-1 disks around ALL coarser ancestors at
+    *    once (level 0 sees every centre, so ≥ k candidates exist
+    *    whenever k ≤ nCentres — required), DEDUPED PER CENTRE first: a
+    *    centre matching at several levels would otherwise repeat its
+    *    distance and silently UNDERCOUNT the k-th;
+    *  - the k-th candidate distance upper-bounds the true k-th
+    *    neighbour distance (k candidates lie within it), so the same
+    *    ceil(r/h)+1 ring bound that made the k=1 gather exact makes
+    *    the gather disk contain the WHOLE top-k; one per-page
+    *    sort+slice ranks it. Every k-th-candidate distance found by
+    *    the main probe still satisfies √d2 < (maxRing+1)·h·√5, so the
+    *    gather-level floor (and the branch-restricted centre indexes)
+    *    carry over unchanged.
+    *
+    * Ties rank by (d2, relation_id) — deterministic in any engine.
+    * Joins keep the boundedBroadcast / plain equi-join discipline of
+    * the k=1 path: nothing cartesian, nothing all-pairs, at any k. */
+  def knnCentresK(spark: SparkSession, points: DataFrame,
+      centreIdx: CentreIndex, p: Params, k: Int): DataFrame = {
+    require(p.knnLevel >= 1, "knnLevel must be >= 1")
+    require(k >= 1 && k <= centreIdx.nCentres,
+      s"k=$k outside [1, nCentres=${centreIdx.nCentres}]")
+    val centresM = centreIdx.centres
+    val nCentres = centreIdx.nCentres
+    def hinted(idx: DataFrame, estRows: Long): DataFrame =
+      graft.util.Joins.boundedBroadcast(idx, estRows, p.knnBroadcastMaxRows)
+    val diskWidth = 2L * p.knnMaxRing + 1L
+    val centIdx = knnCentIdx(centresM, p)
+
+    // k-th smallest candidate distance, null when < k candidates: the
+    // per-page candidate set is disk-bounded (main) / centre-bounded
+    // (fallback), so the collect_list stays small at any corpus scale
+    def kth(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(array_sort(collect_list(col("d2v"))).as("ds"))
+        .withColumn("d2found",
+          when(size(col("ds")) >= k, element_at(col("ds"), k)))
+        .drop("ds")
+
+    val centDisk = centIdx.withColumn("dcell",
+      explode(G.cell_disk(col("ccell"), lit(p.knnMaxRing))))
+    val pts = points.withColumn("kcell",
+      G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
+    val probe = kth(pts
+      .join(hinted(centDisk, nCentres * diskWidth * diskWidth),
+        col("kcell") === col("dcell"), "left_outer")
+      .withColumn("d2v", knnD2)
+      .groupBy("url", "lat7", "lon7", "kcell"))
+
+    def centLevels(lo: Int, hi: Int) = centIdx.withColumn("acell",
+      explode(transform(sequence(lit(lo), lit(hi)),
+        l => G.cell_ancestor(col("ccell"), l))))
+    val gMin = math.max(0, p.knnLevel -
+      math.ceil(math.log((p.knnMaxRing + 1) * math.sqrt(5.0)) / math.log(2.0)).toInt)
+    val centGather = centLevels(gMin, p.knnLevel)
+    val centFallback = centLevels(0, p.knnLevel - 1)
+
+    // fallback: dedup (url, centre) BEFORE the k-th election
+    val fbHit = kth(probe.filter(col("d2found").isNull).drop("d2found")
+      .withColumn("rc", explode(G.ancestor_probe(col("kcell"), lit(p.knnLevel))))
+      .join(hinted(centFallback, nCentres * p.knnLevel), col("rc") === col("acell"))
+      .groupBy("url", "lat7", "lon7", "kcell", "c_rel")
+      .agg(min(knnD2).as("d2v"))
+      .groupBy("url", "lat7", "lon7", "kcell"))
+
+    val latSpan = graft.geo.Cells.LatSpan.toDouble
+    def gatherK(bounded: DataFrame, idx: DataFrame, lvlLo: Int, lvlHi: Int)
+        : DataFrame =
+      bounded
+        .withColumn("glvl", least(greatest(
+          floor(log2(lit(latSpan) / (sqrt(col("d2found")) + 1.0))), lit(lvlLo)),
+          lit(lvlHi)).cast("int"))
+        .withColumn("kneed", (ceil(sqrt(col("d2found")) *
+          pow(lit(2.0), col("glvl")) / latSpan) + 1).cast("int"))
+        .withColumn("rc", explode(G.cell_disk(
+          G.cell_ancestor(col("kcell"), col("glvl")), col("kneed"))))
+        .join(hinted(idx, nCentres * (lvlHi - lvlLo + 1L)), col("rc") === col("acell"))
+        .withColumn("d2v", knnD2)
+        .groupBy("url")
+        .agg(slice(array_sort(collect_list(struct(col("d2v"), col("c_rel")))),
+          1, k).as("top"))
+        .select(col("url"), posexplode(col("top")))
+        .select(col("url"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.c_rel").as("nn_relation_id"))
+
+    gatherK(probe.filter(col("d2found").isNotNull), centGather, gMin, p.knnLevel)
+      .union(gatherK(fbHit, centFallback, 0, p.knnLevel - 1))
   }
 
   /** J7: z/x/y raster-tile aggregation of the join output. */

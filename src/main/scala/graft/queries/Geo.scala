@@ -335,6 +335,31 @@ object Geo {
               |  FROM ($eventPointsSql) e CROSS JOIN ($nationCentresSql) c
               |) WHERE rk = 1 ORDER BY event_id""".stripMargin)),
 
+    // J6 at k>1: rank ≤ 3 nearest centres per point — the gather
+    // radius re-derived from the k-th candidate distance — vs the
+    // brute-force top-3 window in SQL. Ties rank by (d2, relation_id)
+    // in both engines.
+    QueryDef(
+      "q_knn_centres_k",
+      (s, d) => {
+        val pts = eventPoints(s, d)
+          .select(col("event_id").cast("string").as("url"), col("lat7"), col("lon7"))
+        SpatialJoin.knnCentresK(s, pts, nationCentres(s, d),
+            SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2), k = 3)
+          .select(col("url").cast("long").as("event_id"),
+            col("rank").cast("long").as("rank"), col("nn_relation_id"))
+          .orderBy("event_id", "rank")
+      },
+      Some(s"""SELECT event_id, rk AS rank, relation_id AS nn_relation_id FROM (
+              |  SELECT e.event_id, c.relation_id,
+              |    row_number() OVER (PARTITION BY e.event_id ORDER BY
+              |      (e.lat7 - c.c_lat7) * (e.lat7 - c.c_lat7) +
+              |      least(abs(e.lon7 - c.c_lon7), 3600000000 - abs(e.lon7 - c.c_lon7)) *
+              |      least(abs(e.lon7 - c.c_lon7), 3600000000 - abs(e.lon7 - c.c_lon7)),
+              |      c.relation_id) AS rk
+              |  FROM ($eventPointsSql) e CROSS JOIN ($nationCentresSql) c
+              |) WHERE rk <= 3 ORDER BY event_id, rank""".stripMargin)),
+
     // J1-J3 golden: the 14 fixture admin areas as a VALUES oracle
     QueryDef(
       "q_admin_areas",

@@ -88,6 +88,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "centre index must broadcast — it is small by construction")
   }
 
+  test("kNN k>1 plan stays equi-join shaped and broadcasts the centre index") {
+    val pts = spark.range(1000)
+      .select(col("id").cast("string").as("url"),
+        (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
+    val centres = spark.range(20)
+      .select(col("id").as("relation_id"),
+        (col("id") * 7777L).as("c_lat7"), (col("id") * 9999L).as("c_lon7"))
+    val knn = SpatialJoin.knnCentresK(spark, pts, centres,
+      SpatialJoin.Params(), k = 3)
+    val plan = knn.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN k>1 must never degrade to an all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "centre index must broadcast — it is small by construction")
+  }
+
   test("kNN probe disk DROPS the broadcast hint above the row bound (degrades to shuffle, not OOM)") {
     val pts = spark.range(1000)
       .select(col("id").cast("string").as("url"),
