@@ -247,22 +247,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // drift re-measure (r6 VERDICT #4): the three queries that
-    // regressed on UNCHANGED code in the r6 driver run (q_range_join
-    // 0.55→2.34, q_page_knn 2.23→3.01, q_page_join 1.09→1.97 s) —
-    // re-timed 3× warm in this same session, MEDIAN reported, to
-    // separate box noise from a real shared-session interaction.
-    val driftMed = Seq("q_page_join", "q_page_knn", "q_range_join").map { q =>
-      val ts = (1 to 3).map { _ =>
+    // drift re-measure (r6 VERDICT #4, r7 #2): queries that regressed
+    // on UNCHANGED code in past driver runs — the r6 trio plus the r7
+    // suspects (q_dedup_clusters 1.53→5.48, q_window_agg 0.33→0.82,
+    // q_window_rank 0.44→0.85, q_count_kinds →1.90; q_dedup_clusters
+    // runs right after the 8 s q_corpus_pipeline gate in the shared
+    // session, so eviction is the hypothesis to separate from box
+    // noise) — re-timed 3× warm in this same session, MEDIAN reported.
+    // A run that THROWS contributes None (rendered as null), never its
+    // elapsed time: a crashing query must read as failed, not as a
+    // plausible-looking median.
+    val driftMed = Seq("q_page_join", "q_page_knn", "q_range_join",
+        "q_dedup_clusters", "q_window_agg", "q_window_rank",
+        "q_count_kinds").map { q =>
+      val ts = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(q)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { SparkEntry.queries(q)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }.sorted
-      q -> ts(1)
+      q -> (if (ts.length == 3) Some(ts(1)) else None)
     }
-    val driftJson = driftMed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val driftJson = driftMed.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
     val jsonLine =
       s"""{"metric":"spatial_join_pages_per_sec","value":${f"${hi._1}%.1f"},"unit":"pages/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f"$total%.3f"},"scaling":{"cores_lo":1,"cores_hi":$hiCores,"pages_per_sec_lo":$loPps,"pages_per_sec_hi":${f"${hi._1}%.1f"},"efficiency":$effJson,"efficiency_pairs":$pairsJson,"identical_output":$identical,"n_pages":$nPages,"drift_medians":$driftJson,"ladder":${
         ladder.map { case (c, (pps, _, fl)) =>
@@ -320,16 +328,24 @@ object Bench {
          ||---|---|
          ${results.map { case (k, v) => s"|| $k | ${f"$v%.3f"} |" }.mkString("\n")}
          |
-         |Drift re-measure (r6 VERDICT #4): the three queries that
-         |regressed on UNCHANGED code between the r5 and r6 driver runs,
-         |re-timed three times warm in this same session — the median
-         |separates box noise from any real shared-session interaction
-         |(r5 / drifted-r6 driver references: q_range_join 0.55 / 2.34,
-         |q_page_knn 2.23 / 3.01, q_page_join 1.09 / 1.97 s):
+         |Drift re-measure (r6 VERDICT #4, r7 What's-wrong #2): queries
+         |that regressed on UNCHANGED code in past driver runs — the r6
+         |trio (r5 / drifted-r6 refs: q_range_join 0.55 / 2.34,
+         |q_page_knn 2.23 / 3.01, q_page_join 1.09 / 1.97 s) plus the
+         |r7 suspects (r6 / drifted-r7 refs: q_dedup_clusters
+         |1.53 / 5.48, q_window_agg 0.33 / 0.82, q_window_rank
+         |0.44 / 0.85, q_count_kinds — / 1.90 s) — re-timed three times
+         |warm in this same session; the median separates box noise from
+         |any real shared-session interaction (q_dedup_clusters sits
+         |right after the 8 s q_corpus_pipeline gate in the shared
+         |session, so cache eviction is the named hypothesis). A failed
+         |run reports "failed", never its elapsed time:
          |
          || query | median sec (3 warm runs) |
          ||---|---|
-         ${driftMed.map { case (k, v) => s"|| $k | ${f"$v%.3f"} |" }.mkString("\n")}
+         ${driftMed.map { case (k, v) =>
+            s"|| $k | ${v.map(t => f"$t%.3f").getOrElse("failed")} |" }
+           .mkString("\n")}
          |""".stripMargin.replace("MEASURED_TABLE_SLOT", measured)
     val dir = java.nio.file.Paths.get("BENCH")
     java.nio.file.Files.createDirectories(dir)
