@@ -9,7 +9,7 @@ import java.util.zip.GZIPInputStream
 import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** One parsed WARC record. `tsUs` is WARC-Date as epoch microseconds
   * (WARC/1.0 dates are second-granular). `payload` is the raw record
@@ -35,17 +35,19 @@ final case class WarcRecord(
   *  - plain `.warc` at/above the threshold: record starts are
   *    rediscovered in parallel block ranges by resyncing on the
   *    `WARC/1.0\r\n` signature, each candidate CHAIN-VALIDATED (its own
-  *    record parses AND the following position is EOF or another
-  *    well-formed record), then EXTENT-DEDUPED: a per-file ordered scan
-  *    drops every candidate that starts strictly inside the extent of a
-  *    previously KEPT record. Because every false candidate lies inside
-  *    some true record's payload and every true start chain-validates,
-  *    the kept set is exactly the true record sequence — the resync
-  *    index is EXACT for arbitrary payloads (including payloads that
-  *    embed complete well-formed records). The dedup scan touches only
-  *    (offset, end) pointer pairs, O(records · 16 B) through one sorted
-  *    partition per file — the gz layout below stays the preferred form
-  *    at extreme scale because it needs no scan at all;
+  *    record parses structurally AND the following position is EOF or
+  *    another well-formed record), then EXTENT-DEDUPED distributedly
+  *    (see [[resyncOffsets]]): candidates stay in their scan ranges,
+  *    each range precomputes its chain exits, and the driver carries
+  *    the kept chain across range boundaries through tiny boundary
+  *    windows — no shuffle, no per-file single-task sort. Because
+  *    every false candidate lies inside some true record's payload and
+  *    every true start chain-validates, the kept set is exactly the
+  *    true record sequence — the resync index is EXACT for arbitrary
+  *    payloads (including payloads that embed complete well-formed
+  *    records) — and the carry chain doubles as end-to-end validation
+  *    (it must land exactly on EOF). The gz layout below stays the
+  *    preferred form at extreme scale because it needs no scan at all;
   *  - `.warc.gz` (every record its own gzip member — the Common-Crawl
   *    production layout): one task per FILE, streaming member decode.
   *    At 100 TB a crawl ships ~100k ≈1 GB shards, so file-level
@@ -266,8 +268,12 @@ object WarcRead {
 
   /** Hard per-task range cap: bounds scan time per task independent of
     * file size (a 1 TB plain shard at parallelism 32 would otherwise
-    * hand each task ~8 GB ranges). */
-  private val MaxResyncStep = 128L << 20
+    * hand each task ~8 GB ranges). Sysprop override lets specs shrink
+    * ranges below record size to drive the carry chain's pass-through
+    * and cross-range cases on small fixtures. */
+  private def MaxResyncStep: Long =
+    sys.props.get("graft.warc.maxResyncStep").map(_.toLong)
+      .getOrElse(128L << 20)
 
   /** Rolling scan-buffer size (the range is streamed through this
     * fixed window — per-task heap is O(1 MB) regardless of range
@@ -352,12 +358,152 @@ object WarcRead {
     * record's extent and every true record chain-validates, so the kept
     * set is exactly the true sequence (the dropped candidates' own —
     * possibly lying — extents never poison the chain because only KEPT
-    * extents advance it). */
+    * extents advance it). Retained as the fallback for pathological
+    * record-size mixes; [[resyncOffsets]] is the scale path. */
   private[warc] def extentDedup(cands: Iterator[(Long, Long)]): Iterator[Long] = {
     var keptEnd = 0L
     cands.flatMap { case (off, end) =>
       if (off >= keptEnd) { keptEnd = end; Iterator.single(off) }
       else Iterator.empty
+    }
+  }
+
+  /** Cap on the (rangeId, offset, exit) rows the distributed extent
+    * dedup collects for its driver-side carry chain (~32 B each →
+    * ≤ 128 MB). Exceeding it means a pathological record-size mix (a
+    * near-range-sized record amid tiny ones inflates every range's
+    * boundary window); the exact single-partition sort takes over. */
+  private val MaxCarryWindowRows = 4 << 20
+
+  /** Distributed exact record index of one huge plain `.warc`: the
+    * scale replacement for the old per-file `repartition(1)` sort
+    * (a 1 TB shard has ~10^9 candidate pairs — one sorting task was
+    * the straggler/spill bottleneck). Exploits WARC CONTIGUITY
+    * (records tile the file: each true record ends exactly where the
+    * next starts), which makes the kept chain a linked list of exact
+    * end→offset hops:
+    *
+    *  1. per range (parallel): signature resync as before, then each
+    *     candidate's chain EXIT — the offset where the hop chain from
+    *     it first leaves the range — by one backward O(candidates)
+    *     memoization (hops only move forward); a hop landing inside
+    *     the range on no candidate marks the chain DEAD (true chains
+    *     never die: every true start chain-validates in its range);
+    *  2. driver: the carry entering range k is the end of the record
+    *     covering the range boundary, so it lies within maxExtent (the
+    *     largest candidate extent — an upper bound on the true record
+    *     size) of the range start. Collecting only those boundary-
+    *     window candidates (tiny for any sane record-size mix), the
+    *     driver chains exits across ranges in O(ranges) — and gets
+    *     end-to-end validation free: the final carry must equal the
+    *     file length, every carry must hit a live candidate, else the
+    *     archive is corrupt and the read fails LOUDLY (the old ordered
+    *     scan silently resynced past a broken chain);
+    *  3. per range (parallel): replay the hop chain from the
+    *     broadcast carry over the persisted per-range candidates,
+    *     emitting the kept offsets.
+    *
+    * Shuffle-free (the candidate set stays where it was scanned); the
+    * only driver state is the boundary windows. Index construction is
+    * eager (two small jobs + the range scan), like the driver walk is
+    * for small files. */
+  private[warc] def resyncOffsets(spark: SparkSession,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      f: String, len: Long): Dataset[Long] = {
+    import spark.implicits._
+    val step = math.min(MaxResyncStep,
+      math.max(1L << 20, len / (spark.sparkContext.defaultParallelism * 4L)))
+    val nRanges = ((len + step - 1) / step).toInt
+
+    // round 1: candidates + per-candidate chain exits, one task/range
+    val cands = spark.createDataset(0 until nRanges)
+      .repartition(nRanges)
+      .mapPartitions { rids =>
+        val p = new Path(f)
+        val fs = FileSystem.get(p.toUri, conf.value)
+        rids.flatMap { rid =>
+          val from = rid.toLong * step
+          val to = math.min(len, from + step)
+          val hits = resyncRange(fs, f, from, to).toArray // offset-sorted
+          val n = hits.length
+          val exit = new Array[Long](n)
+          val idxByOff = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+          var i = 0
+          while (i < n) { idxByOff.put(hits(i)._1, i); i += 1 }
+          i = n - 1
+          while (i >= 0) {
+            val e = hits(i)._2
+            exit(i) =
+              if (e >= to) e
+              else {
+                val j = idxByOff.get(e)
+                if (j == null) -1L else exit(j) // -1 = DEAD
+              }
+            i -= 1
+          }
+          (0 until n).iterator
+            .map(i => (rid, hits(i)._1, hits(i)._2, exit(i)))
+        }
+      }
+      .persist()
+
+    val maxExtRow = cands.agg(max(col("_3") - col("_2"))).head()
+    require(!maxExtRow.isNullAt(0), s"no WARC records found by resync in $f")
+    val maxExt = maxExtRow.getLong(0)
+
+    val win = cands
+      .filter(col("_2") <= col("_1").cast("long") * lit(step) + lit(maxExt))
+      .select(col("_1").as[Int], col("_2").as[Long], col("_4").as[Long])
+      .limit(MaxCarryWindowRows + 1)
+      .collect()
+    if (win.length > MaxCarryWindowRows) {
+      // pathological mix: exact fallback, one sorted partition
+      val kept = cands.select(col("_2").as[Long], col("_3").as[Long])
+        .repartition(1).sortWithinPartitions("_1")
+        .mapPartitions(extentDedup)
+      kept
+    } else {
+      val winMap = win.map { case (rid, off, exit) => ((rid, off), exit) }.toMap
+      val carries = Array.fill(nRanges)(-1L)
+      var c = 0L
+      var rid = 0
+      while (rid < nRanges) {
+        val from = rid.toLong * step
+        val to = math.min(len, from + step)
+        if (c < to) {
+          require(c >= from,
+            s"resync carry $c fell behind range start $from in $f")
+          carries(rid) = c
+          val exit = winMap.getOrElse((rid, c), sys.error(
+            s"WARC resync chain broken: no record starts at offset $c in $f"))
+          require(exit >= 0, s"WARC resync chain broken at offset $c in $f " +
+            "(record not followed by a valid record)")
+          c = exit
+        }
+        rid += 1
+      }
+      require(c == len, s"WARC resync chain ends at offset $c but $f is " +
+        s"$len bytes — trailing garbage or truncated final record")
+      val bc = spark.sparkContext.broadcast(carries)
+      cands.mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (rid, rs) =>
+          val cIn = bc.value(rid)
+          if (cIn < 0) Iterator.empty // record spans the whole range
+          else {
+            val to = math.min(len, (rid.toLong + 1L) * step)
+            val m = new java.util.HashMap[java.lang.Long, java.lang.Long](rs.length * 2)
+            rs.foreach(r => m.put(r._2, r._3))
+            Iterator.unfold(cIn) { cc =>
+              if (cc >= to) None
+              else {
+                val e = m.get(cc)
+                require(e != null, s"resync chain lost at offset $cc in $f")
+                Some((cc, e.longValue()))
+              }
+            }
+          }
+        }
+      }
     }
   }
 
@@ -613,25 +759,7 @@ object WarcRead {
     val ptrDss: Seq[Dataset[(String, Long)]] = plain.map { case (f, len) =>
       if (len < DistributedScanThreshold)
         spark.createDataset(scanOffsets(spark, f).map(o => (f, o)))
-      else {
-        val step = math.min(MaxResyncStep,
-          math.max(1L << 20,
-            len / (spark.sparkContext.defaultParallelism * 4L)))
-        val ranges = (0L until len by step)
-          .map(s => (s, math.min(len, s + step)))
-        spark.createDataset(ranges).repartition(ranges.size)
-          .mapPartitions { rs =>
-            val p = new Path(f)
-            val fs = FileSystem.get(p.toUri, conf.value)
-            rs.flatMap { case (a, b) => resyncRange(fs, f, a, b) }
-          }
-          // exact extent dedup needs the file's candidates in one
-          // ordered pass: one sorted partition per file, pointers only
-          .repartition(1)
-          .sortWithinPartitions("_1")
-          .mapPartitions(extentDedup)
-          .map(o => (f, o))
-      }
+      else resyncOffsets(spark, conf, f, len).map(o => (f, o))
     }
     val plainDs: Dataset[WarcRecord] = ptrDss.reduceOption(_ union _)
       .map(_.repartitionByRange(spark.sparkContext.defaultParallelism,

@@ -120,6 +120,37 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("resync chain-carry: range-spanning records and cross-range " +
+      "embedded records stay exact") {
+    // 64 KB ranges force the distributed dedup's hard cases on a small
+    // fixture: a ~200 KB record spans >3 whole ranges (pass-through
+    // carries), and complete well-formed records embedded 100 KB into
+    // its payload land in DIFFERENT ranges than the outer record's
+    // start — the driver carry must skip them from another range
+    val stepPrev = sys.props.put("graft.warc.maxResyncStep", "65536")
+    try withResync {
+      val filler = Array.fill[Byte](100000)('f'.toByte)
+      val inner1 = WarcWrite.response("https://evil.test/in1",
+        1700000008000000L, "in1".getBytes(UTF_8))
+      val inner2 = WarcWrite.response("https://evil.test/in2",
+        1700000009000000L, "in2".getBytes(UTF_8))
+      val big = filler ++ inner1 ++ inner2 ++ filler
+      val rows = Seq(
+        ("https://a.test/head", 1700000001000000L, "head".getBytes(UTF_8)),
+        ("https://a.test/big", 1700000002000000L, big),
+        ("https://a.test/tail", 1700000003000000L, "tail".getBytes(UTF_8)))
+      val dir = Files.createTempDirectory("warcspec").toString
+      WarcWrite.write(rows.toDF("url", "ts_us", "payload").coalesce(1), dir)
+      val got = readBack(dir)
+      assert(got.map(_._1) === Seq("https://a.test/big",
+        "https://a.test/head", "https://a.test/tail"))
+      assert(got.find(_._1.endsWith("big")).get._3 === big.toSeq)
+    } finally stepPrev match {
+      case Some(v) => sys.props.put("graft.warc.maxResyncStep", v)
+      case None => sys.props.remove("graft.warc.maxResyncStep")
+    }
+  }
+
   test("pointer decode opens one stream per file-run, not per record") {
     val n = 200
     val df = (0 until n)
