@@ -126,16 +126,27 @@ object AdminAreas {
     val all = truncateChains(spark, initial)
     val closedInit = all.filter(_.closed)
     val open = all.filter(c => !c.closed)
-    // oversized group keys: tiny after partial aggregation (one row per
-    // (relation, role)), collected so the split is a plain filter
-    val bigKeys: Set[(Long, String)] = open.toDF()
+    // oversized group keys: one row per pathological (relation, role)
+    // after partial aggregation. The split runs as semi/anti JOINS, so
+    // nothing key-proportional ever lands on the driver — real OSM
+    // data has a handful of such keys (broadcast), adversarial input
+    // with millions degrades to a shuffled-hash split, not a driver
+    // OOM. Only the COUNT (strategy pick + empty fast path) reaches
+    // the driver.
+    val bigKeysDf = open.toDF()
       .groupBy(col("relationId"), col("role"))
       .agg(count(lit(1)).as("n"), sum(size(col("coords"))).as("w"))
       .filter(col("n") > localMaxSegs || col("w") > LocalMaxCoordLongs)
-      .select(col("relationId"), col("role")).as[(Long, String)]
-      .collect().toSet
-    val bigBc = spark.sparkContext.broadcast(bigKeys)
-    val small = open.filter(c => !bigBc.value.contains((c.relationId, c.role)))
+      .select(col("relationId"), col("role"))
+      .localCheckpoint()
+    val nBig = bigKeysDf.count()
+    val bigKeysHinted =
+      graft.util.Joins.boundedBroadcast(bigKeysDf, nBig, 1000000L)
+    val small =
+      if (nBig == 0L) open
+      else open.toDF()
+        .join(bigKeysHinted, Seq("relationId", "role"), "left_anti")
+        .as[Chain]
     val localOutRaw = small
       .groupByKey(c => (c.relationId, c.role))
       .flatMapGroups { (key: (Long, String), it: Iterator[Chain]) =>
@@ -169,11 +180,13 @@ object AdminAreas {
     // materialize once: the closed/failed branches (and build()'s joins
     // over them) would otherwise re-run the stitch shuffle per consumer
     val localOut = truncateChains(spark, localOutRaw)
-    if (bigKeys.isEmpty) {
+    if (nBig == 0L) {
       (closedInit.union(localOut.filter(_.closed)),
         localOut.filter(c => !c.closed))
     } else {
-      val big = open.filter(c => bigBc.value.contains((c.relationId, c.role)))
+      val big = open.toDF()
+        .join(bigKeysHinted, Seq("relationId", "role"), "left_semi")
+        .as[Chain]
       val (bigClosed, bigFailed) = assembleIterative(spark, big, maxRounds)
       (closedInit.union(localOut.filter(_.closed)).union(bigClosed),
         localOut.filter(c => !c.closed).union(bigFailed))
