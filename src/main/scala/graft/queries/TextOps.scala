@@ -146,8 +146,8 @@ object TextOps {
     * VALUES table `vo(tok, tid, l)` — the SINGLE SOURCE for every
     * tokenizer oracle (1.2k entries, arbitrary lengths; l counts code
     * points to match DuckDB's character-based substr/len). */
-  private def vocabCte: String = {
-    val vs = graft.expr.SubwordVocab.default.entries.zipWithIndex.map {
+  private def vocabCte(v: graft.expr.SubwordVocab): String = {
+    val vs = v.entries.zipWithIndex.map {
       case (w, i) =>
         s"('${w.replace("'", "''")}', $i, ${w.codePointCount(0, w.length)})"
     }
@@ -181,7 +181,7 @@ object TextOps {
     s"""wd AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
        |  FROM src),
        |uw AS (SELECT DISTINCT w FROM wd),
-       |$vocabCte,
+       |${vocabCte(graft.expr.SubwordVocab.default)},
        |$stepCte,
        |tk AS (
        |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt FROM uw
@@ -197,13 +197,22 @@ object TextOps {
     * `src(doc_id, text)` CTE, yields `wd(doc_id, wi, w)` word
     * occurrences and `wt(w, j, tid)` per-DISTINCT-word token rows
     * (0-based in-word ordinal j). Requires WITH RECURSIVE. */
-  private def tokIdCtes: String =
+  private def tokIdCtes: String = tokIdCtes(graft.expr.SubwordVocab.default)
+
+  /** Mid-training vocab for q_bpe_pair_stats: the default's entries of
+    * ≤ 3 chars (ids = their DEFAULT indices are not preserved — this
+    * is its own id space by construction, like any vocab file). */
+  private lazy val bpeStatsVocab: graft.expr.SubwordVocab =
+    graft.expr.SubwordVocab(
+      graft.expr.SubwordVocab.default.entries.filter(_.length <= 3))
+
+  private def tokIdCtes(v: graft.expr.SubwordVocab): String =
     s"""wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
        |        FROM src),
        |    LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)),
        |uw AS (SELECT DISTINCT w FROM wd),
-       |$vocabCte,
+       |${vocabCte(v)},
        |$stepCte,
        |tkr AS (
        |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(-1 AS BIGINT) AS j,
@@ -972,6 +981,115 @@ object TextOps {
               |  CAST((doc_id * 2654435761) % 1000 < keep_milli AS INTEGER)
               |    AS kept
               |FROM km ORDER BY doc_id""".stripMargin)),
+
+    // BENCHMARK DECONTAMINATION (Brown et al. 2020 app. C / Dodge et
+    // al. 2021): drop training documents that share any word-8-gram
+    // with a held-out evaluation set. Eval sets are SMALL by
+    // definition, so their distinct 8-gram hashes broadcast (still
+    // counted + bounded like every derived build side) and the corpus
+    // side stays one narrow scan + per-row gram hashing + one
+    // broadcast semi-join — at 100 TB the corpus never shuffles for
+    // this, only its per-doc counters do. The synthetic eval set is
+    // documents with doc_id % 37 == 0, so the corpus copies of those
+    // docs come out 1000‰ contaminated and their planted near-dup
+    // variants nearly so.
+    QueryDef(
+      "q_decontaminate",
+      (s, d) => {
+        def grams8(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
+              "i -> str_poly_hash(concat(" +
+              (0 to 7).map(o => s"element_at(toks, i + $o)").mkString(", ' ', ") +
+              "))) ELSE CAST(array() AS array<bigint>) END")).as("g8"))
+        TextFunctions.register(s)
+        val bench = grams8(Tables.t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(37)) === 0)
+          .select("doc_id", "text"))
+          .select("g8").distinct().localCheckpoint()
+        val benchHinted = graft.util.Joins
+          .boundedBroadcast(bench, bench.count(), 4000000L)
+        val grams = grams8(corpus(s, d))
+        val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("total8"))
+        val con = grams.join(benchHinted, Seq("g8"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("contam8"))
+        corpus(s, d).select("doc_id")
+          .join(tot, Seq("doc_id"), "left_outer")
+          .join(con, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("total8"), lit(0L)).as("total8"),
+            coalesce(col("contam8"), lit(0L)).as("contam8"))
+          .withColumn("contam_milli",
+            expr("contam8 * 1000 DIV greatest(total8, 1)"))
+          .withColumn("kept", (col("contam8") === 0L).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val duck8 =
+          "list_transform(range(1, greatest(len(toks) - 6, 1)), i -> " +
+            ph((0 to 7).map(o => s"toks[i + $o]").mkString(" || ' ' || ")) + ")"
+        s"""WITH c AS ($corpusSql),
+           |tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM c),
+           |g AS (SELECT doc_id, unnest($duck8) AS g8 FROM tk),
+           |bt AS (SELECT string_split(lower(text), ' ') AS toks
+           |  FROM documents WHERE doc_id % 37 = 0),
+           |b AS (SELECT DISTINCT unnest($duck8) AS g8 FROM bt),
+           |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total8
+           |  FROM g GROUP BY doc_id),
+           |con AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS contam8
+           |  FROM g JOIN b USING (g8) GROUP BY doc_id)
+           |SELECT c.doc_id, coalesce(tot.total8, 0) AS total8,
+           |  coalesce(con.contam8, 0) AS contam8,
+           |  coalesce(con.contam8, 0) * 1000
+           |    // greatest(coalesce(tot.total8, 0), 1) AS contam_milli,
+           |  CAST(coalesce(con.contam8, 0) = 0 AS INTEGER) AS kept
+           |FROM c LEFT JOIN tot ON c.doc_id = tot.doc_id
+           |LEFT JOIN con ON c.doc_id = con.doc_id
+           |ORDER BY c.doc_id""".stripMargin
+      }),
+
+    // BPE MERGE STATISTICS — the aggregation a distributed tokenizer
+    // TRAINER iterates (graft.tools.VocabGen runs it driver-side; this
+    // is the corpus-scale shape): adjacent token-id pair frequencies
+    // under the CURRENT vocab, computed on the DISTINCT-WORD frequency
+    // table — the classic BPE trainer representation, so the pair
+    // explosion is O(distinct words · word length), independent of
+    // corpus row count; occurrence weights ride a tiny (word, count)
+    // aggregate. Runs under a REDUCED vocab (the default's entries of
+    // ≤ 3 chars — mid-training, before whole words merged), which both
+    // makes the statistics non-degenerate (full-vocab words are mostly
+    // single tokens) and drives the tokenizer's parameterized-vocab
+    // API through a driver gate. Top-20 by (count, t1, t2) — fully
+    // ordered, so the LIMIT is deterministic.
+    QueryDef(
+      "q_bpe_pair_stats",
+      (s, d) => {
+        val wf = corpus(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wc"))
+        wf.select(col("wc"),
+            TextFunctions.tokenize_ids(col("w"), bpeStatsVocab).as("ids"))
+          .filter(size(col("ids")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(ids) - 1), i -> " +
+              "struct(element_at(ids, i) AS t1, element_at(ids, i + 1) AS t2))"))
+            .as("p"))
+          .groupBy(col("p.t1").cast("long").as("t1"),
+            col("p.t2").cast("long").as("t2"))
+          .agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("t1"), col("t2"))
+          .limit(20)
+      },
+      Some(s"""WITH RECURSIVE src AS ($corpusSql),
+              |${tokIdCtes(bpeStatsVocab)},
+              |pc AS (SELECT a.w, a.tid AS t1, b.tid AS t2
+              |  FROM wt a JOIN wt b ON a.w = b.w AND b.j = a.j + 1),
+              |wcnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              |  FROM wd GROUP BY w)
+              |SELECT t1, t2, CAST(sum(c) AS BIGINT) AS n
+              |FROM pc JOIN wcnt USING (w)
+              |GROUP BY t1, t2 ORDER BY n DESC, t1, t2 LIMIT 20""".stripMargin)),
 
     // exact dedup — FINGERPRINT-keyed election. Grouping directly on
     // `text` would hash, serialize, and sort-compare multi-KB document

@@ -65,6 +65,17 @@ object WebText {
     (plainDir, gzDir)
   }
 
+  /** Deterministic PII-bearing text: each document gains a contact
+    * email, a dashed US-style phone, and (doc_id % 3 == 0) a second
+    * email mid-sentence. Engine-common SQL. */
+  private[queries] val piiSyn: String =
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@mail' || " +
+      "CAST(doc_id % 7 AS STRING) || '.example or call ' || " +
+      "'800-555-0' || CAST(doc_id % 10 AS STRING) || " +
+      "CAST(doc_id % 7 AS STRING) || CAST(doc_id % 3 AS STRING) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ops.example now' " +
+      "ELSE '' END"
+
   // ---------------------------------------------------------------- HTML
 
   /** Deterministic page markup around each document's text: head noise
@@ -441,6 +452,48 @@ object WebText {
               |SELECT ${urlCanonSql(duckD)} AS canon_url,
               |  count(*) AS n_variants, min(doc_id) AS keeper
               |FROM raw GROUP BY 1 ORDER BY canon_url""".stripMargin)),
+
+    // PII REDACTION — the scrubbing pass every released web corpus
+    // runs (emails + phone numbers → placeholder tokens): pure per-row
+    // regexp_replace chains, codegen'd, zero shuffle before the output
+    // sort — the 100 TB shape is a map-only rewrite. Patterns are
+    // backslash-free by the module's convention (character classes
+    // only) and rendered through the shared Dialect shim so both
+    // engines replace ALL occurrences. PII is synthesized
+    // deterministically (an email + a dashed phone per doc, a second
+    // email on doc_id % 3 == 0), so redaction counts are exact and the
+    // full redacted text value-checks.
+    QueryDef(
+      "q_pii_redact",
+      (s, d) => {
+        val redact = {
+          var e = "pii"
+          e = sparkD.rr(e, "[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>")
+          e = sparkD.rr(e,
+            "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]", "<PHONE>")
+          e
+        }
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), expr(piiSyn).as("pii"))
+          .select(col("doc_id"), expr(redact).as("redacted"),
+            expr("size(regexp_extract_all(pii, '[a-z0-9._]+@[a-z0-9.]+[a-z]', 0))")
+              .cast("long").as("n_emails"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val redact = {
+          var e = "pii"
+          e = duckD.rr(e, "[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>")
+          e = duckD.rr(e,
+            "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]", "<PHONE>")
+          e
+        }
+        s"""WITH p AS (SELECT doc_id, $piiSyn AS pii FROM documents)
+           |SELECT doc_id, $redact AS redacted,
+           |  CAST(len(regexp_extract_all(pii,
+           |    '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
 
     // ANCHOR-TEXT aggregation — the classic link-signal op (search and
     // web-corpus pipelines aggregate the anchor text of a page's

@@ -118,6 +118,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("alpha_milli") < 900).count() === 0)
   }
 
+  test("q_decontaminate: eval-set copies die at 1000‰, short docs are kept") {
+    val r = graft.SparkEntry.queries("q_decontaminate")(spark, sf)
+      .localCheckpoint()
+    // the eval set is documents % 37 == 0, and those docs are in the
+    // corpus verbatim → every 8-gram contaminated → dropped
+    val evalCopies = r.filter(pmod(col("doc_id"), lit(37L)) === 0 &&
+      col("doc_id") < 1000000L && col("total8") > 0)
+    assert(evalCopies.count() > 0)
+    assert(evalCopies.filter(col("contam_milli") =!= 1000L ||
+      col("kept") =!= 0).count() === 0,
+      "verbatim eval docs must be fully contaminated and dropped")
+    // docs under 8 words have no 8-grams: total8 = 0 and kept = 1
+    assert(r.filter(col("total8") === 0 && col("kept") =!= 1).count() === 0)
+    // contamination discriminates: most non-eval docs are clean
+    val clean = r.filter(col("kept") === 1).count()
+    assert(clean > r.count() / 2, s"only $clean/${r.count()} kept")
+  }
+
+  test("q_bpe_pair_stats: weighted pair counts under the reduced vocab") {
+    val rows = graft.SparkEntry.queries("q_bpe_pair_stats")(spark, sf)
+      .collect()
+    assert(rows.length === 20, "full top-20 under the mid-training vocab")
+    val ns = rows.map(_.getLong(2))
+    assert(ns.sameElements(ns.sorted.reverse), "ordered by count desc")
+    assert(ns.forall(_ >= 1L))
+    // pair ids live in the reduced vocab's id space (≤3-char entries)
+    // or the single-char fallback band
+    val fb = graft.expr.SubwordVocab.FallbackBase
+    val vocabSize = graft.expr.SubwordVocab.default.entries
+      .count(_.length <= 3)
+    for (r <- rows; c <- Seq(r.getLong(0), r.getLong(1)))
+      assert(c < vocabSize || c >= fb, s"token id $c outside both bands")
+  }
+
   test("ppl scoring: hand-checked doc against the fixed model") {
     // "a the join zzz" → 1200000 + 1500000 + 2500000 + 9000000 = 14200000
     // over 4 words → 3550000 (< threshold → kept)

@@ -120,6 +120,20 @@ class WebTextSpec extends AnyFunSuite {
       "click here", "read more", "homepage")).count() > 0)
   }
 
+  test("q_pii_redact: no email or dashed phone survives redaction") {
+    val r = graft.SparkEntry.queries("q_pii_redact")(
+      spark, "/root/testdata/sf0.001").localCheckpoint()
+    assert(r.filter(col("redacted").contains("@")).count() === 0)
+    assert(r.filter(col("redacted")
+      .rlike("[0-9]{3}-[0-9]{3}-[0-9]{4}")).count() === 0)
+    assert(r.filter(!col("redacted").contains("<EMAIL>")).count() === 0)
+    assert(r.filter(!col("redacted").contains("<PHONE>")).count() === 0)
+    // synthesized email counts are exact: 2 on doc_id % 3 == 0, else 1
+    assert(r.filter(col("n_emails") =!=
+      when(pmod(col("doc_id"), lit(3L)) === 0, 2L).otherwise(1L))
+      .count() === 0)
+  }
+
   test("q_grouping_sets: grand-total row equals table count") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").count()
     val total = graft.SparkEntry.queries("q_grouping_sets")(spark, sf)
