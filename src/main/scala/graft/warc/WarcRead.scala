@@ -662,7 +662,10 @@ object WarcRead {
     * SURT-ORDERED (range partitioned + sorted within parts — the CC
     * index contract), so persisting it yields sorted parts that serve
     * [[cdxLookup]] prefix queries from a bounded range; the sort
-    * shuffles only the ~60 B index rows, never archive bytes. */
+    * shuffles only the ~60 B index rows, never archive bytes. The raw
+    * per-shard index is persisted before the range sort because
+    * RangePartitioner's key-sampling job would otherwise recompute its
+    * child — i.e. decompress and walk every archive shard TWICE. */
   def cdxIndex(spark: SparkSession, path: String): Dataset[CdxEntry] = {
     import spark.implicits._
     val files = partFiles(spark, path).map(_._1).filter(_.endsWith(".gz"))
@@ -691,6 +694,7 @@ object WarcRead {
             }
         }
       }
+      .persist()
       .repartitionByRange(files.size, col("surt"), col("tsUs"))
       .sortWithinPartitions("surt", "tsUs")
   }
