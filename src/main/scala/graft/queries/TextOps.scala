@@ -1009,14 +1009,17 @@ object TextOps {
           .select("doc_id", "text"))
           .select("g8").distinct().localCheckpoint()
         val benchHinted = graft.util.Joins
-          .boundedBroadcast(bench, bench.count(), 4000000L)
-        val grams = grams8(corpus(s, d))
-        val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("total8"))
-        val con = grams.join(benchHinted, Seq("g8"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("contam8"))
+          .boundedBroadcast(bench.withColumn("hit", lit(1)),
+            bench.count(), 4000000L)
+        // ONE corpus pass: total and contaminated gram counts come out
+        // of the same broadcast left-join + aggregate (two separate
+        // count branches would scan + re-hash the whole corpus twice)
+        val counts = grams8(corpus(s, d))
+          .join(benchHinted, Seq("g8"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("total8"), count(col("hit")).as("contam8"))
         corpus(s, d).select("doc_id")
-          .join(tot, Seq("doc_id"), "left_outer")
-          .join(con, Seq("doc_id"), "left_outer")
+          .join(counts, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             coalesce(col("total8"), lit(0L)).as("total8"),
             coalesce(col("contam8"), lit(0L)).as("contam8"))

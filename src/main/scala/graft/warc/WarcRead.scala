@@ -372,8 +372,12 @@ object WarcRead {
     * dedup collects for its driver-side carry chain (~32 B each →
     * ≤ 128 MB). Exceeding it means a pathological record-size mix (a
     * near-range-sized record amid tiny ones inflates every range's
-    * boundary window); the exact single-partition sort takes over. */
-  private val MaxCarryWindowRows = 4 << 20
+    * boundary window); the exact single-partition sort takes over.
+    * Sysprop override lets specs force the fallback on small
+    * fixtures and assert both paths index-identical. */
+  private def MaxCarryWindowRows: Int =
+    sys.props.get("graft.warc.maxCarryWindowRows").map(_.toInt)
+      .getOrElse(4 << 20)
 
   /** Distributed exact record index of one huge plain `.warc`: the
     * scale replacement for the old per-file `repartition(1)` sort

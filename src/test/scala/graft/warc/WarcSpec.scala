@@ -151,6 +151,36 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("resync carry-window overflow degrades to the exact " +
+      "single-partition sort with an identical index") {
+    // force the fallback (window cap 1 row) on a multi-range archive
+    // with adversarial embedded records: both dedup paths must keep
+    // exactly the true record sequence
+    val inner = WarcWrite.response("https://evil.test/in",
+      1700000008000000L, "in".getBytes(UTF_8))
+    val rows = Seq(
+      ("https://a.test/outer", 1700000001000000L,
+        Array.fill[Byte](80000)('f'.toByte) ++ inner),
+      ("https://a.test/tail", 1700000002000000L, "tail".getBytes(UTF_8)))
+    val dir = Files.createTempDirectory("warcspec").toString
+    WarcWrite.write(rows.toDF("url", "ts_us", "payload").coalesce(1), dir)
+    def props(kv: (String, String)*)(body: => Seq[String]): Seq[String] = {
+      val prev = kv.map { case (k, v) => (k, sys.props.put(k, v)) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => sys.props.put(k, v)
+        case (k, None) => sys.props.remove(k)
+      }
+    }
+    val viaChain = props("graft.warc.distScanThreshold" -> "1",
+      "graft.warc.maxResyncStep" -> "65536")(readBack(dir).map(_._1))
+    val viaSort = props("graft.warc.distScanThreshold" -> "1",
+      "graft.warc.maxResyncStep" -> "65536",
+      "graft.warc.maxCarryWindowRows" -> "1")(readBack(dir).map(_._1))
+    assert(viaChain === Seq("https://a.test/outer", "https://a.test/tail"))
+    assert(viaSort === viaChain, "fallback path must index identically")
+  }
+
   test("pointer decode opens one stream per file-run, not per record") {
     val n = 200
     val df = (0 until n)
