@@ -996,33 +996,32 @@ object TextOps {
     QueryDef(
       "q_decontaminate",
       (s, d) => {
-        def grams8(df: DataFrame): DataFrame = df
+        def gram8Expr: String =
+          "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
+            "i -> str_poly_hash(concat(" +
+            (0 to 7).map(o => s"element_at(toks, i + $o)").mkString(", ' ', ") +
+            "))) ELSE CAST(array() AS array<bigint>) END"
+        def toksOf(df: DataFrame): DataFrame = df
           .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-          .select(col("doc_id"), explode(expr(
-            "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
-              "i -> str_poly_hash(concat(" +
-              (0 to 7).map(o => s"element_at(toks, i + $o)").mkString(", ' ', ") +
-              "))) ELSE CAST(array() AS array<bigint>) END")).as("g8"))
         TextFunctions.register(s)
-        val bench = grams8(Tables.t(s, d, "documents")
+        val bench = toksOf(Tables.t(s, d, "documents")
           .filter(pmod(col("doc_id"), lit(37)) === 0)
           .select("doc_id", "text"))
-          .select("g8").distinct().localCheckpoint()
+          .select(explode(expr(gram8Expr)).as("g8"))
+          .distinct().localCheckpoint()
         val benchHinted = graft.util.Joins
           .boundedBroadcast(bench.withColumn("hit", lit(1)),
             bench.count(), 4000000L)
-        // ONE corpus pass: total and contaminated gram counts come out
-        // of the same broadcast left-join + aggregate (two separate
-        // count branches would scan + re-hash the whole corpus twice)
-        val counts = grams8(corpus(s, d))
+        // ONE corpus pass, no doc_id-wide join: explode_OUTER keeps a
+        // null-gram row for <8-word docs, so total (count skips nulls)
+        // and contaminated gram counts come out of a single broadcast
+        // left-join + aggregate — at 100 TB the corpus is scanned
+        // once and never shuffled except for the per-doc counters
+        toksOf(corpus(s, d))
+          .select(col("doc_id"), explode_outer(expr(gram8Expr)).as("g8"))
           .join(benchHinted, Seq("g8"), "left_outer")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("total8"), count(col("hit")).as("contam8"))
-        corpus(s, d).select("doc_id")
-          .join(counts, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("total8"), lit(0L)).as("total8"),
-            coalesce(col("contam8"), lit(0L)).as("contam8"))
+          .agg(count(col("g8")).as("total8"), count(col("hit")).as("contam8"))
           .withColumn("contam_milli",
             expr("contam8 * 1000 DIV greatest(total8, 1)"))
           .withColumn("kept", (col("contam8") === 0L).cast("int"))
