@@ -1116,6 +1116,55 @@ object TextOps {
               |FROM ($corpusSql) GROUP BY text HAVING count(*) > 1
               |ORDER BY keeper""".stripMargin)),
 
+    // INCREMENTAL (cross-crawl) exact dedup — the shape a monthly
+    // crawl pipeline actually runs: the NEW crawl dedups against (a)
+    // itself and (b) the accumulated FINGERPRINT index of all prior
+    // crawls — (fp, len), 16 B per historical doc, so history costs
+    // fingerprints, never text, and the prior corpus is never re-read.
+    // The old-index join is forced shuffled-hash (the index is
+    // history-sized; broadcast would OOM at crawl scale) and the
+    // in-crawl election window shares its (fp, len) partitioning with
+    // that join — one Exchange covers both. Verdict precedence
+    // dup_old > dup_new is fixed so both engines label doubly-dup docs
+    // identically. Old crawl = even base docs; the planted exact
+    // clones (+2000000) then split into cross-crawl dups (even base →
+    // dup_old) and in-crawl dups (odd base, base + clone both new →
+    // clone is dup_new).
+    QueryDef(
+      "q_dedup_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val all = corpus(s, d).select(col("doc_id"),
+          xxhash64(col("text")).as("fp"),
+          length(col("text")).cast("long").as("len"))
+        val oldIdx = all
+          .filter(col("doc_id") < 1000000L && pmod(col("doc_id"), lit(2)) === 0)
+          .select("fp", "len").distinct()
+          .withColumn("in_old", lit(1))
+        val neu = all
+          .filter(col("doc_id") >= 1000000L || pmod(col("doc_id"), lit(2)) === 1)
+        val w = Window.partitionBy("fp", "len")
+        neu.join(oldIdx.hint("shuffle_hash"), Seq("fp", "len"), "left_outer")
+          .withColumn("minid", min(col("doc_id")).over(w))
+          .select(col("doc_id"),
+            when(col("in_old") === 1, lit("dup_old"))
+              .when(col("doc_id") =!= col("minid"), lit("dup_new"))
+              .otherwise(lit("kept")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS ($corpusSql),
+              |o AS (SELECT DISTINCT text FROM c
+              |  WHERE doc_id < 1000000 AND doc_id % 2 = 0),
+              |n AS (SELECT doc_id, text FROM c
+              |  WHERE doc_id >= 1000000 OR doc_id % 2 = 1),
+              |m AS (SELECT doc_id,
+              |    min(doc_id) OVER (PARTITION BY text) AS minid,
+              |    CAST(text IN (SELECT text FROM o) AS INTEGER) AS in_old
+              |  FROM n)
+              |SELECT doc_id, CASE WHEN in_old = 1 THEN 'dup_old'
+              |  WHEN doc_id <> minid THEN 'dup_new' ELSE 'kept' END AS verdict
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
     // minhash signatures: k=8 linear hashes over word-3-gram shingles,
     // computed per row (narrow, no shuffle before the final sort)
     QueryDef(

@@ -234,6 +234,13 @@ class PlanQualitySpec extends AnyFunSuite {
     noTextKey("CorpusPipeline dedup stage", stage)
     assert(!stage.contains("BroadcastHashJoin"),
       s"winner semi-join must not broadcast a corpus-sized side:\n$stage")
+    // incremental cross-crawl dedup: fingerprint keys only, and the
+    // history-sized old index must never broadcast
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .queryExecution.sparkPlan.toString()
+    noTextKey("q_dedup_incremental", inc)
+    assert(!inc.contains("BroadcastHashJoin"),
+      s"old-crawl fingerprint index must not broadcast:\n$inc")
   }
 
   test("tile aggregation is a single partial+final aggregate (one shuffle)") {
