@@ -209,10 +209,16 @@ object SpatialJoin {
       explode(G.cell_disk(col("ccell"), lit(p.knnMaxRing))))
     val pts = points
       .withColumn("kcell", G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
+    // materialized: BOTH downstream branches (main gather + fallback)
+    // filter this frame — without the checkpoint each re-runs the page
+    // scan, the disk join and the probe aggregation from scratch (the
+    // branch split defeats exchange reuse); the persisted form is one
+    // ~40 B row per page, far cheaper than a second source pass
     val probe = pts
       .join(hinted(centDisk, nCentres * diskWidth * diskWidth),
         col("kcell") === col("dcell"), "left_outer")
       .groupBy("url", "lat7", "lon7", "kcell").agg(min(d2).as("d2found"))
+      .localCheckpoint()
 
     // Multi-level ancestor indexes, restricted per branch (see Scaladoc)
     def centLevels(lo: Int, hi: Int) = centIdx.withColumn("acell",
@@ -323,11 +329,13 @@ object SpatialJoin {
       explode(G.cell_disk(col("ccell"), lit(p.knnMaxRing))))
     val pts = points.withColumn("kcell",
       G.cell_encode(col("lat7"), col("lon7"), lit(p.knnLevel)))
+    // materialized for the same two-consumer reason as the k=1 probe
     val probe = kth(pts
       .join(hinted(centDisk, nCentres * diskWidth * diskWidth),
         col("kcell") === col("dcell"), "left_outer")
       .withColumn("d2v", knnD2)
       .groupBy("url", "lat7", "lon7", "kcell"))
+      .localCheckpoint()
 
     def centLevels(lo: Int, hi: Int) = centIdx.withColumn("acell",
       explode(transform(sequence(lit(lo), lit(hi)),

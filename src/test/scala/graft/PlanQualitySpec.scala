@@ -117,9 +117,31 @@ class PlanQualitySpec extends AnyFunSuite {
       .select(col("id").as("relation_id"),
         ((col("id") * 7777L) % 800000000L).as("c_lat7"),
         ((col("id") * 9999L) % 1600000000L).as("c_lon7"))
-    val knn = SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
-    val plan = knn.queryExecution.executedPlan.toString()
-    // the probe join is the one keyed on dcell; join lines list keys
+    // the probe executes EAGERLY inside knnCentres (checkpointed for
+    // its two consumers), so its join no longer appears in the
+    // returned frame's plan — capture the probe's EXECUTED plan via a
+    // listener instead (stronger: this is the plan that actually ran)
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString())
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val plan = try {
+      SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
+      val deadline = System.currentTimeMillis() + 10000
+      var found: Option[String] = None
+      while (found.isEmpty && System.currentTimeMillis() < deadline) {
+        import scala.jdk.CollectionConverters._
+        found = plans.asScala.find(_.contains("dcell"))
+        if (found.isEmpty) Thread.sleep(50)
+      }
+      found.getOrElse(fail("probe plan not captured by the listener"))
+    } finally spark.listenerManager.unregister(listener)
     val probeLines = plan.linesIterator.filter(_.contains("dcell")).toSeq
     assert(probeLines.exists(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")),
