@@ -230,10 +230,13 @@ object Bench {
     // gates sharing the session-staged HTTP-framed archive (q_warc_http
     // reuses it) — without the throwaway its timed row would absorb the
     // one-time archive write that belongs to no single query
+    // q_knn_centres_k compiles its own rank-k aggregation codegen (the
+    // k=1 classes don't cache-hit), same reason q_page_knn warms
     for (q <- Seq("q_page_tiles", "q_dedup_minhash_lsh", "q_embed_ann_lsh",
         "q_embed_ann_ivf_recall", "q_embed_ann_ivfpq_recall", "q_page_knn",
         "q_multimodal", "q_stream_dedup", "q_stream_dedup_ttl",
-        "q_admin_incremental", "q_extract", "q_knn_centres", "q_osc_upsert",
+        "q_admin_incremental", "q_extract", "q_knn_centres",
+        "q_knn_centres_k", "q_osc_upsert",
         "q_vectorize", "q_warc_roundtrip", "q_warc_cdx"))
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case _: Throwable => }
