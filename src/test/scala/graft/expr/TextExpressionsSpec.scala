@@ -150,6 +150,32 @@ class TextExpressionsSpec extends AnyFunSuite {
           .head().getLong(0))
   }
 
+  test("vocab trie operates on CODE POINTS: multi-byte and " +
+      "supplementary-plane entries match exactly") {
+    import graft.expr.SubwordVocab
+    import org.apache.spark.unsafe.types.UTF8String
+    // "ünï" is 3 code points (2-byte UTF-8 each); the gothic letter
+    // 𐌰 (U+10330) is supplementary — ONE code point, TWO UTF-16 chars
+    val g = new String(Character.toChars(0x10330))
+    val v = SubwordVocab(Seq("ünï", "ün", s"$g$g", "ab"))
+    def tc(s: String): Long = v.tokenCount(UTF8String.fromString(s))
+    def ids(s: String): Seq[Int] =
+      (0 until v.tokenIds(UTF8String.fromString(s)).numElements())
+        .map(v.tokenIds(UTF8String.fromString(s)).getInt)
+    assert(tc("ünï") === 1L)            // longest wins over "ün"
+    assert(ids("ünï") === Seq(0))
+    assert(tc("ünx") === 2L)            // "ün" + fallback 'x'
+    assert(ids("ünx") === Seq(1, SubwordVocab.FallbackBase + 'x'.toInt))
+    assert(tc(s"$g$g$g") === 2L)        // "𐌰𐌰" + fallback 𐌰
+    assert(ids(s"$g$g$g") === Seq(2, SubwordVocab.FallbackBase + 0x10330))
+    // a lone supplementary char falls back by CODE POINT, never by
+    // surrogate halves (two surrogate tokens would be corruption)
+    assert(tc(g) === 1L)
+    assert(ids(g) === Seq(SubwordVocab.FallbackBase + 0x10330))
+    // maxLen counts code points, not UTF-16 units
+    assert(v.maxLen === 3)
+  }
+
   test("vocab ships as a serialized reference object, trie rebuilds") {
     import graft.expr.SubwordVocab
     val v = SubwordVocab(Seq("ab", "abc"))
