@@ -147,6 +147,30 @@ case class GeoparseExpr(text: Expression)
   override protected def withNewChildInternal(c: Expression): GeoparseExpr = copy(c)
 }
 
+/** knn_top(pts ARRAY<STRUCT<lat7,lon7>>) → ARRAY<BIGINT>: the top-k
+  * centre relation ids by (d2, rel) over every (point, centre) pair —
+  * the dense-kNN kernel ([[RT.knnTop]]). The centre table rides as
+  * driver-constant reference arrays (NOT literal children — same
+  * rationale as IvfTopExpr: a 1000-row literal bloats stringification,
+  * canonicalization and constant folding). */
+case class KnnTopExpr(pts: Expression, rels: Array[Long], lats: Array[Long],
+    lons: Array[Long], k: Int) extends UnaryExpression {
+  override def child: Expression = pts
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any): Any =
+    RT.knnTop(a.asInstanceOf[ArrayData], rels, lats, lons, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rRef = ctx.addReferenceObj("knnRels", rels, "long[]")
+    val laRef = ctx.addReferenceObj("knnLats", lats, "long[]")
+    val loRef = ctx.addReferenceObj("knnLons", lons, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.RT.knnTop($c, $rRef, $laRef, $loRef, $k)")
+  }
+  override protected def withNewChildInternal(c: Expression): KnnTopExpr =
+    copy(pts = c)
+}
+
 /** Column-level API + SQL registration for the kernels. */
 object GeoFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
@@ -171,6 +195,9 @@ object GeoFunctions {
       expression(cornerInside), expression(edges)))
   def geoparse_packed(text: Column): Column =
     column(GeoparseExpr(expression(text)))
+  def knn_top(pts: Column, rels: Array[Long], lats: Array[Long],
+      lons: Array[Long], k: Int): Column =
+    column(KnnTopExpr(expression(pts), rels, lats, lons, k))
   def packed_lat7(p: Column): Column = {
     import org.apache.spark.sql.functions._
     shiftrightunsigned(p, 32) - 900000000L

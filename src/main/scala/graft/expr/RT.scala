@@ -13,6 +13,57 @@ object RT {
   def cellRing(cell: Long, k: Int): ArrayData =
     new GenericArrayData(Cells.ring(cell, k))
 
+  /** Dense kNN kernel: top-k centre relation ids by (d2, rel) over
+    * EVERY (point, centre) pair — `pts` is one url's collected
+    * array<struct<lat7,lon7>>, the centre table rides as flat reference
+    * arrays. Exactly the brute-force multiset semantics of
+    * array_sort(all candidate structs).slice(1, k): duplicate points
+    * contribute duplicate entries, ties order by rel. One insertion-
+    * sorted top-k buffer, no allocation beyond the k-sized result. */
+  def knnTop(pts: ArrayData, rels: Array[Long], lats: Array[Long],
+      lons: Array[Long], k: Int): ArrayData = {
+    val n = pts.numElements()
+    val m = rels.length
+    val total = n.toLong * m
+    val kk = if (k.toLong < total) k else total.toInt
+    val bd = new Array[Long](kk)
+    val br = new Array[Long](kk)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val row = pts.getStruct(i, 2)
+      val lat = row.getLong(0)
+      val lon = row.getLong(1)
+      var c = 0
+      while (c < m) {
+        val dlat = lat - lats(c)
+        var dlon = lon - lons(c)
+        if (dlon < 0) dlon = -dlon
+        if (dlon > 1800000000L) dlon = 3600000000L - dlon
+        val d2 = dlat * dlat + dlon * dlon
+        val r = rels(c)
+        if (filled < kk) {
+          var j = filled
+          while (j > 0 && (bd(j - 1) > d2 || (bd(j - 1) == d2 && br(j - 1) > r))) {
+            bd(j) = bd(j - 1); br(j) = br(j - 1); j -= 1
+          }
+          bd(j) = d2; br(j) = r
+          filled += 1
+        } else if (d2 < bd(kk - 1) || (d2 == bd(kk - 1) && r < br(kk - 1))) {
+          var j = kk - 1
+          while (j > 0 && (bd(j - 1) > d2 || (bd(j - 1) == d2 && br(j - 1) > r))) {
+            bd(j) = bd(j - 1); br(j) = br(j - 1); j -= 1
+          }
+          bd(j) = d2; br(j) = r
+        }
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (filled == br.length) br else java.util.Arrays.copyOf(br, filled))
+  }
+
   /** All DISTINCT cells within Chebyshev distance ≤ k (the filled disk,
     * wrap-aware): x offsets wrap around the antimeridian but are capped
     * at the level's grid width so no cell repeats (a naive per-ring

@@ -40,7 +40,16 @@ object SpatialJoin {
       // (boundary rows carry clipped edges, so rows are wider than the
       // kNN index's — bound lower), and a planet-detail cover beyond it
       // degrades to the shuffled equi-join deterministically
-      coverBroadcastMaxRows: Long = 2000000L)
+      coverBroadcastMaxRows: Long = 2000000L,
+      // centre sides AT OR UNDER this row count take the DENSE kNN path:
+      // the whole centre table rides the plan as one constant array and
+      // each point scans it in a codegen loop — zero joins, zero index
+      // fan-out, exactly the brute-force definition (so equivalence to
+      // the cell-probe path is by construction). Per-point cost is
+      // O(nCentres), so the bound must stay dimension-table-sized; a
+      // planet's ~10⁶ admin centres exceed it and keep the cell-probe
+      // index path.
+      knnDenseMaxCentres: Long = 1024L)
 
   /** Geoparse: url + packed coordinate; drops pages with no mention.
     * Column pruning matters here — only (url, text) are read, never
@@ -189,9 +198,50 @@ object SpatialJoin {
       centres: DataFrame, p: Params): DataFrame =
     knnCentres(spark, points, CentreIndex.of(centres), p)
 
+  /** Centre rows collected for the dense path: (c_rel, c_lat7, c_lon7),
+    * sorted by c_rel for a deterministic plan constant. Only called
+    * when nCentres ≤ knnDenseMaxCentres — the same driver-side O(k)
+    * contract as the cover-level collect in [[containmentJoin]]. */
+  private def collectCentres(centreIdx: CentreIndex): Seq[(Long, Long, Long)] = {
+    val spark = centreIdx.centres.sparkSession
+    import spark.implicits._
+    centreIdx.centres.select(col("relation_id"), col("c_lat7"), col("c_lon7"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  /** DENSE kNN: per-url top-k over the centre table shipped as codegen
+    * reference arrays — one [[graft.expr.RT.knnTop]] kernel call per
+    * url, no joins, no probe/gather machinery. This IS the brute-force
+    * definition the oracle states ((d2, relation_id)-ordered over the
+    * multiset of every (point, centre) pair), so it is exact at any k;
+    * the per-url aggregation merges duplicate-url points exactly like
+    * the general path's gather groupBy("url"). The only exchange is
+    * that per-url groupBy, carrying (url, lat7, lon7). Used when the
+    * centre side is dimension-table-sized (nCentres ≤
+    * knnDenseMaxCentres). */
+  private def knnDense(points: DataFrame, cents: Seq[(Long, Long, Long)],
+      k: Int): DataFrame = {
+    val rels = cents.map(_._1).toArray
+    val lats = cents.map(_._2).toArray
+    val lons = cents.map(_._3).toArray
+    val top = points
+      .filter(col("lat7").isNotNull && col("lon7").isNotNull)
+      .groupBy("url")
+      .agg(collect_list(struct(col("lat7"), col("lon7"))).as("pts"))
+      .select(col("url"), G.knn_top(col("pts"), rels, lats, lons, k).as("t"))
+    if (k == 1)
+      top.select(col("url"), element_at(col("t"), 1).as("nn_relation_id"))
+    else
+      top.select(col("url"), posexplode(col("t")))
+        .select(col("url"), (col("pos") + 1).cast("int").as("rank"),
+          col("col").as("nn_relation_id"))
+  }
+
   def knnCentres(spark: SparkSession, points: DataFrame,
       centreIdx: CentreIndex, p: Params): DataFrame = {
     require(p.knnLevel >= 1, "knnLevel must be >= 1")
+    if (centreIdx.nCentres > 0 && centreIdx.nCentres <= p.knnDenseMaxCentres)
+      return knnDense(points, collectCentres(centreIdx), k = 1)
     // each centre-index broadcast hint is kept only while its exploded
     // row count stays under knnBroadcastMaxRows — beyond that the hint
     // would force an unbounded broadcast, so the plain equi-join ships
@@ -309,6 +359,8 @@ object SpatialJoin {
     require(p.knnLevel >= 1, "knnLevel must be >= 1")
     require(k >= 1 && k <= centreIdx.nCentres,
       s"k=$k outside [1, nCentres=${centreIdx.nCentres}]")
+    if (centreIdx.nCentres <= p.knnDenseMaxCentres)
+      return knnDense(points, collectCentres(centreIdx), k)
     val centresM = centreIdx.centres
     val nCentres = centreIdx.nCentres
     def hinted(idx: DataFrame, estRows: Long): DataFrame =

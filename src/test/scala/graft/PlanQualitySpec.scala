@@ -72,14 +72,17 @@ class PlanQualitySpec extends AnyFunSuite {
     df.collect() // and the fused stage must actually compile + run
   }
 
-  test("kNN plan has no cartesian/nested-loop join and broadcasts the centre index") {
+  test("kNN general path has no cartesian/nested-loop join and broadcasts the centre index") {
     val pts = spark.range(1000)
       .select(col("id").cast("string").as("url"),
         (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
     val centres = spark.range(20)
       .select(col("id").as("relation_id"),
         (col("id") * 7777L).as("c_lat7"), (col("id") * 9999L).as("c_lon7"))
-    val knn = SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
+    // knnDenseMaxCentres = 0 forces the cell-probe index path — the
+    // plan shape a planet-sized centre table gets
+    val knn = SpatialJoin.knnCentres(spark, pts, centres,
+      SpatialJoin.Params(knnDenseMaxCentres = 0L))
     val plan = knn.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
@@ -88,7 +91,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "centre index must broadcast — it is small by construction")
   }
 
-  test("kNN k>1 plan stays equi-join shaped and broadcasts the centre index") {
+  test("kNN k>1 general path stays equi-join shaped and broadcasts the centre index") {
     val pts = spark.range(1000)
       .select(col("id").cast("string").as("url"),
         (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
@@ -96,13 +99,57 @@ class PlanQualitySpec extends AnyFunSuite {
       .select(col("id").as("relation_id"),
         (col("id") * 7777L).as("c_lat7"), (col("id") * 9999L).as("c_lon7"))
     val knn = SpatialJoin.knnCentresK(spark, pts, centres,
-      SpatialJoin.Params(), k = 3)
+      SpatialJoin.Params(knnDenseMaxCentres = 0L), k = 3)
     val plan = knn.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"kNN k>1 must never degrade to an all-pairs join:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       "centre index must broadcast — it is small by construction")
+  }
+
+  test("kNN dense path (dimension-sized centre table) plans no join at all") {
+    // at ≤ knnDenseMaxCentres the centre table rides the plan as a
+    // constant array and the per-point top-k is a codegen loop — the
+    // only exchange left is the per-url aggregation
+    val pts = spark.range(1000)
+      .select(col("id").cast("string").as("url"),
+        (col("id") % 1000000L).as("lat7"), (col("id") % 2000000L).as("lon7"))
+    val centres = spark.range(20)
+      .select(col("id").as("relation_id"),
+        (col("id") * 7777L).as("c_lat7"), (col("id") * 9999L).as("c_lon7"))
+    for (k <- Seq(1, 3)) {
+      val knn =
+        if (k == 1) SpatialJoin.knnCentres(spark, pts, centres, SpatialJoin.Params())
+        else SpatialJoin.knnCentresK(spark, pts, centres, SpatialJoin.Params(), k)
+      val plan = knn.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Join"), s"dense kNN (k=$k) must be join-free:\n$plan")
+    }
+  }
+
+  test("kNN dense and general paths are output-identical (k=1 and k=3)") {
+    val pts = spark.range(500)
+      .select(col("id").cast("string").as("url"),
+        ((col("id") * 104729L) % 1800000001L - 900000000L).as("lat7"),
+        ((col("id") * 7919L) % 3600000001L - 1800000000L).as("lon7"))
+    val centres = spark.range(20)
+      .select(col("id").as("relation_id"),
+        ((col("id") * 7777777L) % 1800000001L - 900000000L).as("c_lat7"),
+        ((col("id") * 9999991L) % 3600000001L - 1800000000L).as("c_lon7"))
+    val dense1 = SpatialJoin.knnCentres(spark, pts, centres,
+      SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gen1 = SpatialJoin.knnCentres(spark, pts, centres,
+      SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2, knnDenseMaxCentres = 0L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dense1 == gen1 && dense1.nonEmpty)
+    val dense3 = SpatialJoin.knnCentresK(spark, pts, centres,
+      SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val gen3 = SpatialJoin.knnCentresK(spark, pts, centres,
+      SpatialJoin.Params(knnLevel = 6, knnMaxRing = 2, knnDenseMaxCentres = 0L), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(dense3 == gen3 && dense3.size == 3 * dense1.size)
   }
 
   test("kNN probe disk DROPS the broadcast hint above the row bound (degrades to shuffle, not OOM)") {

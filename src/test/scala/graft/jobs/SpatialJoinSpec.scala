@@ -146,8 +146,11 @@ class SpatialJoinSpec extends AnyFunSuite {
     // knnBroadcastMaxRows = 0 forces EVERY centre-index join onto the
     // shuffle_hash path — the plan the engine degrades to at planet
     // centre counts; cost may change, the result must not
+    // (knnDenseMaxCentres = 0 first forces the general path at all —
+    // the default base run takes the dense path, so this doubles as a
+    // dense-vs-general cross-path identity check)
     val degraded = SpatialJoin.run(spark, pagesDf, areas,
-      SpatialJoin.Params(knnBroadcastMaxRows = 0L))
+      SpatialJoin.Params(knnBroadcastMaxRows = 0L, knnDenseMaxCentres = 0L))
     val a = base.knn.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val b = degraded.knn.collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(a == b)
