@@ -73,9 +73,11 @@ object Extract {
     val nodesLV = latestVisible(osm, OsmKind.Node)
     val nodes = nodesLV.toDF()
       .select(col("id").as("node_id"), col("lat7"), col("lon7"))
-    val pr = SpatialJoin.prepare(spark, area, p)
+    // containment-only prep: extracts never build the kNN, so the
+    // centre-index materialization of the full prepare() is skipped
+    val (cover, polygons) = SpatialJoin.prepareContainment(spark, area, p)
     val seeds = SpatialJoin
-      .containmentJoin(spark, nodes, pr.cover, pr.polygons, p)
+      .containmentJoin(spark, nodes, cover, polygons, p)
       .select("node_id")
     complete(spark, osm, nodesLV, seeds)
   }

@@ -466,14 +466,32 @@ object SpatialJoin {
     .select(col("relationId").as("relation_id"),
       col("centreLat7").as("c_lat7"), col("centreLon7").as("c_lon7"))
 
-  def prepare(spark: SparkSession, areas: Dataset[AdminArea],
-      p: Params = Params()): Prepared = {
+  private def prepareCore(spark: SparkSession, areas: Dataset[AdminArea],
+      p: Params): (Dataset[AdminArea], Dataset[CoverRowEx], DataFrame) = {
     val complete = areas.filter(_.complete).cache()
     val cover = AdminAreas.coverTableDetailed(spark, complete, p.coverMaxLevel)
       .localCheckpoint() // materialize: read many times (levels + join)
     val polygons = complete.select(col("relationId").as("relation_id"), col("rings"))
       .localCheckpoint()
+    (complete, cover, polygons)
+  }
+
+  /** Containment-only prep — extract-style callers that never build the
+    * kNN skip the centre materialization (checkpoint + count) entirely,
+    * and the intermediate complete-area cache is freed immediately
+    * (both derived sets are eagerly checkpointed). */
+  def prepareContainment(spark: SparkSession, areas: Dataset[AdminArea],
+      p: Params = Params()): (Dataset[CoverRowEx], DataFrame) = {
+    val (complete, cover, polygons) = prepareCore(spark, areas, p)
+    complete.unpersist()
+    (cover, polygons)
+  }
+
+  def prepare(spark: SparkSession, areas: Dataset[AdminArea],
+      p: Params = Params()): Prepared = {
+    val (complete, cover, polygons) = prepareCore(spark, areas, p)
     val centres = centresOf(complete.toDF()).localCheckpoint()
+    complete.unpersist()
     Prepared(cover, polygons, centres, CentreIndex.of(centres))
   }
 

@@ -163,7 +163,14 @@ object PgCopy {
     import scala.concurrent.ExecutionContext.Implicits.global
     val jobs = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     def enqueue(df: => DataFrame, path: String, table: String): Unit =
-      jobs += (() => writeTable(df, path, table))
+      jobs += { () =>
+        // descriptions are thread-local: each concurrent write labels
+        // its own job in the UI/listeners (guide §1.5)
+        val sc = df.sparkSession.sparkContext
+        sc.setJobDescription(s"pgcopy write $table")
+        try writeTable(df, path, table)
+        finally sc.setJobDescription(null)
+      }
     enqueue(db.nodes.select(col("node_id"),
       col("lat7").cast("int").as("latitude"),
       col("lon7").cast("int").as("longitude"),

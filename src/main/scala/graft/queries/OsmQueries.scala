@@ -21,7 +21,14 @@ object OsmQueries {
     new graft.util.SessionCache[org.apache.spark.sql.Dataset[graft.model.OsmEntity]]
 
   private[queries] def osmFixture(s: org.apache.spark.sql.SparkSession) =
-    fixtureCached.get(s)(PbfRead.read(s, fixture).localCheckpoint())
+    // repartition(8): the 3.4 MB fixture decodes into 1-2 blob-sized
+    // partitions (PbfRead sizes partitions off BYTE length — right for
+    // production archives, serial for this tiny fixture), which made
+    // every downstream no-shuffle stage single-task (measured: each
+    // pgcopy table write ran one ~0.5 s task). Eight fixture partitions
+    // parallelize those stages; all consumers aggregate, so row order
+    // is immaterial.
+    fixtureCached.get(s)(PbfRead.read(s, fixture).repartition(8).localCheckpoint())
 
   private lazy val fixtureLVCached =
     new graft.util.SessionCache[org.apache.spark.sql.Dataset[graft.model.OsmEntity]]

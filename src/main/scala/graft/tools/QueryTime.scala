@@ -17,6 +17,32 @@ object QueryTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // P_JOBS=1: per-job wall times + task counts (where do the seconds
+    // of a multi-job gate actually go?)
+    if (sys.env.contains("P_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val descs =
+            new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(j.jobId,
+              (System.nanoTime(), j.stageInfos.map(_.numTasks).sum))
+            descs.put(j.jobId, Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse(""))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            val d = Option(descs.remove(j.jobId)).getOrElse("")
+            if (s != null)
+              println(f"[qtime-job] job=${j.jobId} tasks=${s._2} " +
+                f"${(System.nanoTime() - s._1) / 1e9}%.3f s  $d")
+          }
+        })
+    }
     for (n <- names) {
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()

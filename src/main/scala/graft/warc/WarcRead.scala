@@ -461,10 +461,16 @@ object WarcRead {
       .limit(MaxCarryWindowRows + 1)
       .collect()
     if (win.length > MaxCarryWindowRows) {
-      // pathological mix: exact fallback, one sorted partition
+      // pathological mix: exact fallback, one sorted partition.
+      // localCheckpoint materializes the kept offsets so the candidate
+      // cache can be freed NOW — without it every later consumer of the
+      // returned dataset kept the full (rid, off, end, exit) candidate
+      // RDD pinned in the block manager for the session's lifetime
       val kept = cands.select(col("_2").as[Long], col("_3").as[Long])
         .repartition(1).sortWithinPartitions("_1")
         .mapPartitions(extentDedup)
+        .localCheckpoint()
+      cands.unpersist()
       kept
     } else {
       val winMap = win.map { case (rid, off, exit) => ((rid, off), exit) }.toMap
@@ -489,7 +495,10 @@ object WarcRead {
       require(c == len, s"WARC resync chain ends at offset $c but $f is " +
         s"$len bytes — trailing garbage or truncated final record")
       val bc = spark.sparkContext.broadcast(carries)
-      cands.mapPartitions { it =>
+      // kept offsets materialize once (8 B/record — a quarter of the
+      // candidate rows they replace), then the candidate cache is freed
+      // immediately instead of staying pinned for the session
+      val kept = cands.mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (rid, rs) =>
           val cIn = bc.value(rid)
           if (cIn < 0) Iterator.empty // record spans the whole range
@@ -507,7 +516,9 @@ object WarcRead {
             }
           }
         }
-      }
+      }.localCheckpoint()
+      cands.unpersist()
+      kept
     }
   }
 
@@ -676,7 +687,7 @@ object WarcRead {
     require(files.nonEmpty, s"cdxIndex needs .warc.gz shards under $path")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    spark.createDataset(files).repartition(files.size)
+    val raw = spark.createDataset(files).repartition(files.size)
       .mapPartitions { paths =>
         paths.flatMap { f =>
           val p = new Path(f)
@@ -699,8 +710,16 @@ object WarcRead {
         }
       }
       .persist()
+    val sorted = raw
       .repartitionByRange(files.size, col("surt"), col("tsUs"))
       .sortWithinPartitions("surt", "tsUs")
+      // localCheckpoint materializes the SORTED index (same row count
+      // as the raw per-shard index, ~60 B/record) so the raw persist
+      // can be freed here instead of leaking one cached RDD per index
+      // build into the session's block manager
+      .localCheckpoint()
+    raw.unpersist()
+    sorted
   }
 
   /** Random-access fetch of ONE record through its CDX entry: a single
@@ -760,46 +779,72 @@ object WarcRead {
           }
         }
 
+    // one open stream per (file, consecutive run): sequential decode,
+    // seek only across gaps, close on path change / task end. Input
+    // partitions must hold (file, offset)-sorted runs.
+    def decodeRuns(ptrs: Dataset[(String, Long)]): Dataset[WarcRecord] =
+      ptrs.mapPartitions { it =>
+        var curPath: String = null
+        var raw: FSDataInputStream = null
+        var in: CountingInputStream = null
+        var base = 0L // absolute offset where `in` started
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (raw != null) raw.close()))
+        it.map { case (f, off) =>
+          if (f != curPath) {
+            if (raw != null) raw.close()
+            val p = new Path(f)
+            raw = FileSystem.get(p.toUri, conf.value).open(p)
+            decodeOpens.incrementAndGet()
+            curPath = f
+            raw.seek(off)
+            in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+            base = off
+          } else if (base + in.count != off) { // gap: seek, rebuild buffer
+            raw.seek(off)
+            in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
+            base = off
+          }
+          parseRecord(in).getOrElse(sys.error(s"empty record at $f:$off"))
+        }
+      }
+
     // plain shards: exact pointer index (driver walk below the
     // threshold, parallel resync + extent dedup above — the pointer set
     // itself stays distributed; nothing record-proportional ever lands
     // on the driver)
-    val ptrDss: Seq[Dataset[(String, Long)]] = plain.map { case (f, len) =>
-      if (len < DistributedScanThreshold)
-        spark.createDataset(scanOffsets(spark, f).map(o => (f, o)))
-      else resyncOffsets(spark, conf, f, len).map(o => (f, o))
+    val (small, big) = plain.partition(_._2 < DistributedScanThreshold)
+    // driver-walked files: the offsets are already sorted, so CONTIGUOUS
+    // slices preserve the one-stream-per-run invariant with ZERO
+    // exchange — no repartitionByRange (whose key-sampling pass alone
+    // re-scanned every pointer partition) and no per-file
+    // defaultParallelism-sized empty partitions (the old
+    // createDataset-per-file shape put 32 near-empty partitions per
+    // small file: 10k small shards would mean 320k empty tasks)
+    val smallDs: Option[Dataset[WarcRecord]] = {
+      val ptrs = small.flatMap { case (f, _) =>
+        scanOffsets(spark, f).map(o => (f, o)) }
+      if (ptrs.isEmpty) None
+      else {
+        val chunk = math.max(256,
+          ptrs.size / math.max(1, spark.sparkContext.defaultParallelism) + 1)
+        val slices = ptrs.grouped(chunk).toSeq
+        Some(decodeRuns(spark.createDataset(
+          spark.sparkContext.parallelize(slices, slices.size)
+            .flatMap(_.iterator))))
+      }
     }
-    val plainDs: Dataset[WarcRecord] = ptrDss.reduceOption(_ union _)
-      .map(_.repartitionByRange(spark.sparkContext.defaultParallelism,
-          col("_1"), col("_2"))
-        .sortWithinPartitions("_1", "_2")
-        .mapPartitions { it =>
-          // one open stream per (file, consecutive run): sequential
-          // decode, seek only across gaps, close on path change / task end
-          var curPath: String = null
-          var raw: FSDataInputStream = null
-          var in: CountingInputStream = null
-          var base = 0L // absolute offset where `in` started
-          Option(TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => if (raw != null) raw.close()))
-          it.map { case (f, off) =>
-            if (f != curPath) {
-              if (raw != null) raw.close()
-              val p = new Path(f)
-              raw = FileSystem.get(p.toUri, conf.value).open(p)
-              decodeOpens.incrementAndGet()
-              curPath = f
-              raw.seek(off)
-              in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
-              base = off
-            } else if (base + in.count != off) { // gap: seek, rebuild buffer
-              raw.seek(off)
-              in = new CountingInputStream(new BufferedInputStream(raw, 1 << 16))
-              base = off
-            }
-            parseRecord(in).getOrElse(sys.error(s"empty record at $f:$off"))
-          }
-        })
+    // resync-indexed files keep the range sort: their kept offsets come
+    // out partitioned by scan range, not globally run-sorted
+    val bigDs: Option[Dataset[WarcRecord]] = big
+      .map { case (f, len) => resyncOffsets(spark, conf, f, len).map(o => (f, o)) }
+      .reduceOption(_ union _)
+      .map(ds => decodeRuns(
+        ds.repartitionByRange(spark.sparkContext.defaultParallelism,
+            col("_1"), col("_2"))
+          .sortWithinPartitions("_1", "_2")))
+    val plainDs: Dataset[WarcRecord] = (smallDs.toSeq ++ bigDs.toSeq)
+      .reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[WarcRecord])
     gzDs.union(plainDs)
   }
