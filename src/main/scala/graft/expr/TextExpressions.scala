@@ -68,6 +68,63 @@ object TextRT {
     new GenericArrayData(out)
   }
 
+  /** Distinct polyHash values of all CHARACTER n-gram windows of a
+    * text (code-point windows — the same character semantics as
+    * substring/length in both engines), first-occurrence order.
+    * ≡ array_distinct(transform(sequence(1, length-n+1),
+    * i -> str_poly_hash(substring(text, i, n)))) — but one fused loop
+    * instead of an interpreted HOF with per-window substring copies. */
+  def charGramHashes(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var i = 0
+    while (i + n <= cps.length) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = (h * 31 + cps(i + j)) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** polyHash of every word n-gram of an (already lowercased) text, in
+    * window order, duplicates KEPT — ≡ transform(sequence(1,
+    * size(toks)-n+1), i -> str_poly_hash(concat_ws(' ', toks[i..i+n-1])))
+    * over split(text, ' '), one fused loop. Fewer than n tokens → empty
+    * array (the CASE the interpreted formulation guarded with). */
+  def wordGramHashes(lowered: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val toks = lowered.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = Seed
+      var t = 0
+      while (t < n) {
+        val tok = toks(i + t)
+        var ci = 0
+        while (ci < tok.length) {
+          val cp = tok.codePointAt(ci)
+          h = (h * 31 + cp) % P
+          ci += Character.charCount(cp)
+        }
+        if (t < n - 1) h = (h * 31 + 32L) % P // ' '
+        t += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k=8 minhash signature over a shingle-hash array:
     * sig(j) = min_x ((1+2j)·x mod P + 17j mod P) mod P — the exact
     * arithmetic of the round-1 column formulation (and of the DuckDB
@@ -226,11 +283,43 @@ case class TokenizeCountExpr(text: Expression, vocab: SubwordVocab)
     copy(text = c)
 }
 
+/** char_gram_hashes(text) → ARRAY<BIGINT>: distinct char-n-gram
+  * polyHash values ([[TextRT.charGramHashes]]). */
+case class CharGramHashesExpr(text: Expression, n: Int) extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any =
+    TextRT.charGramHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextRT.charGramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharGramHashesExpr =
+    copy(text = c)
+}
+
+/** word_gram_hashes(lowered_text) → ARRAY<BIGINT>: all word n-gram
+  * polyHash values, duplicates kept ([[TextRT.wordGramHashes]]). */
+case class WordGramHashesExpr(text: Expression, n: Int) extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(t: Any): Any =
+    TextRT.wordGramHashes(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextRT.wordGramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordGramHashesExpr =
+    copy(text = c)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.{column, expression}
 
   def str_poly_hash(text: Column): Column =
     column(StrPolyHashExpr(expression(text)))
+  def char_gram_hashes(text: Column, n: Int): Column =
+    column(CharGramHashesExpr(expression(text), n))
+  def word_gram_hashes(loweredText: Column, n: Int): Column =
+    column(WordGramHashesExpr(expression(loweredText), n))
   def tokenize_count(loweredText: Column): Column =
     tokenize_count(loweredText, SubwordVocab.default)
   def tokenize_count(loweredText: Column, vocab: SubwordVocab): Column =

@@ -996,18 +996,15 @@ object TextOps {
     QueryDef(
       "q_decontaminate",
       (s, d) => {
-        def gram8Expr: String =
-          "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
-            "i -> str_poly_hash(concat(" +
-            (0 to 7).map(o => s"element_at(toks, i + $o)").mkString(", ' ', ") +
-            "))) ELSE CAST(array() AS array<bigint>) END"
-        def toksOf(df: DataFrame): DataFrame = df
-          .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        // word_gram_hashes: one fused codegen loop per row (the
+        // interpreted transform + 8-way concat dominated this gate)
+        def grams8(df: DataFrame): DataFrame = df.select(col("doc_id"),
+          TextFunctions.word_gram_hashes(lower(col("text")), 8).as("g8s"))
         TextFunctions.register(s)
-        val bench = toksOf(Tables.t(s, d, "documents")
+        val bench = grams8(Tables.t(s, d, "documents")
           .filter(pmod(col("doc_id"), lit(37)) === 0)
           .select("doc_id", "text"))
-          .select(explode(expr(gram8Expr)).as("g8"))
+          .select(explode(col("g8s")).as("g8"))
           .distinct().localCheckpoint()
         val benchHinted = graft.util.Joins
           .boundedBroadcast(bench.withColumn("hit", lit(1)),
@@ -1017,8 +1014,8 @@ object TextOps {
         // and contaminated gram counts come out of a single broadcast
         // left-join + aggregate — at 100 TB the corpus is scanned
         // once and never shuffled except for the per-doc counters
-        toksOf(corpus(s, d))
-          .select(col("doc_id"), explode_outer(expr(gram8Expr)).as("g8"))
+        grams8(corpus(s, d))
+          .select(col("doc_id"), explode_outer(col("g8s")).as("g8"))
           .join(benchHinted, Seq("g8"), "left_outer")
           .groupBy("doc_id")
           .agg(count(col("g8")).as("total8"), count(col("hit")).as("contam8"))
@@ -1245,11 +1242,11 @@ object TextOps {
     QueryDef(
       "q_ngram_jaccard",
       (s, d) => {
+        // char_gram_hashes: one codegen loop per row ≡ the interpreted
+        // array_distinct(transform(sequence, i -> str_poly_hash(substring)))
         val sub = corpus(s, d).filter(pmod(col("doc_id"), lit(17)) === 0)
-          .select(col("doc_id"), expr(
-            "CASE WHEN length(text) < 3 THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
-              "array_distinct(transform(sequence(1, length(text) - 2), " +
-              "i -> str_poly_hash(substring(text, i, 3)))) END").as("gs"))
+          .select(col("doc_id"),
+            TextFunctions.char_gram_hashes(col("text"), 3).as("gs"))
         val a = sub.select(col("doc_id").as("d1"), col("gs").as("g1"))
         val b = sub.select(col("doc_id").as("d2"), col("gs").as("g2"))
         a.crossJoin(b).filter(col("d1") < col("d2"))
@@ -1292,10 +1289,11 @@ object TextOps {
       (s, d) => {
         val sets = corpus(s, d)
           .filter(pmod(col("doc_id"), lit(4)) === 0)
-          .select(col("doc_id"), expr(
-            "CASE WHEN length(text) < 5 THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
-              "array_distinct(transform(sequence(1, length(text) - 4), " +
-              "i -> str_poly_hash(substring(text, i, 5)))) END").as("gs"))
+          // char_gram_hashes: fused codegen loop for the distinct
+          // 5-gram hash set (the interpreted transform+substring HOF
+          // was this gate's hottest expression)
+          .select(col("doc_id"),
+            TextFunctions.char_gram_hashes(col("text"), 5).as("gs"))
           .filter(size(col("gs")) > 0)
           // the gram table feeds FOUR consumers (banding, sizes, both
           // verify sides): materialize once — at corpus scale this is

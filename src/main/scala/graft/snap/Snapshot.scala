@@ -63,9 +63,10 @@ object Snapshot {
       val df = compute // bind once: `compute` is by-name
       val tmp = s"$root/_tmp-$key-${System.nanoTime()}"
       // A11/J9: executor metrics for this stage land in the manifest
-      val (_, metrics) = graft.util.Progress.tracked(spark) {
+      spark.sparkContext.setJobDescription(s"snapshot stage $name")
+      val (_, metrics) = try graft.util.Progress.tracked(spark) {
         df.write.mode("overwrite").parquet(tmp)
-      }
+      } finally spark.sparkContext.setJobDescription(null)
       // per-partition metrics from parquet footers (no extra job)
       val parts = f.listStatus(new Path(tmp)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-")).sortBy(_.getName)

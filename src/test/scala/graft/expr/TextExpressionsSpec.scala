@@ -51,6 +51,38 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char_gram_hashes kernel ≡ declarative substring/transform formulation") {
+    for (n <- Seq(3, 5)) {
+      val decl = expr(
+        s"CASE WHEN length(text) < $n THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
+          s"array_distinct(transform(sequence(1, length(text) - ${n - 1}), " +
+          s"i -> str_poly_hash(substring(text, i, $n)))) END")
+      TextFunctions.register(spark)
+      val df = texts.toDF("text")
+        .withColumn("fast", TextFunctions.char_gram_hashes($"text", n))
+        .withColumn("decl", decl)
+      for (r <- df.collect())
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n text=${r.getString(0)}")
+    }
+  }
+
+  test("word_gram_hashes kernel ≡ declarative transform/concat formulation (dups kept)") {
+    val n = 8
+    val declExpr =
+      "CASE WHEN size(toks) >= 8 THEN transform(sequence(1, size(toks) - 7), " +
+        "i -> str_poly_hash(concat(" +
+        (0 to 7).map(o => s"element_at(toks, i + $o)").mkString(", ' ', ") +
+        "))) ELSE CAST(array() AS array<bigint>) END"
+    TextFunctions.register(spark)
+    val df = (texts :+ ("w " * 20).trim).toDF("text")
+      .withColumn("toks", split(lower($"text"), " "))
+      .withColumn("fast", TextFunctions.word_gram_hashes(lower($"text"), n))
+      .withColumn("decl", expr(declExpr))
+    for (r <- df.collect())
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"text=${r.getString(0)}")
+  }
+
   test("minhash_sig kernel ≡ declarative transform/array_min formulation") {
     val df = texts.toDF("text")
       .withColumn("shs", TextFunctions.shingle_hashes(lower($"text")))
