@@ -203,8 +203,12 @@ object TextOps {
     * ≤ 3 chars (ids = their DEFAULT indices are not preserved — this
     * is its own id space by construction, like any vocab file). */
   private lazy val bpeStatsVocab: graft.expr.SubwordVocab =
+    // code-point length, matching the vocab/oracle convention (the
+    // UTF-16 .length was equivalent only while the default vocab stays
+    // ASCII; a non-BMP entry would silently misclassify)
     graft.expr.SubwordVocab(
-      graft.expr.SubwordVocab.default.entries.filter(_.length <= 3))
+      graft.expr.SubwordVocab.default.entries
+        .filter(e => e.codePointCount(0, e.length) <= 3))
 
   private def tokIdCtes(v: graft.expr.SubwordVocab): String =
     s"""wd AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS wi, toks[i] AS w
@@ -1096,9 +1100,12 @@ object TextOps {
     // bytes through the shuffle). Instead shuffle rows carry
     // (xxhash64(text), length(text)) — 16 bytes — with length in the
     // key so a 64-bit collision between different-length texts cannot
-    // silently merge groups (same-length collisions are 2^-64 and
-    // detectable downstream by the semi-join consumers that re-read
-    // the text). Same shape as the CCNet paragraph election above.
+    // silently merge groups. A SAME-length collision (2^-64) would
+    // silently drop a distinct document from this gate's (keeper,
+    // n_copies) report; only the PIPELINE dedup stage's semi-join
+    // consumers, which re-read the text, could surface it downstream —
+    // accepted at that probability, same as the CCNet construction
+    // keying on SHA1 prefixes. Same shape as the paragraph election.
     QueryDef(
       "q_dedup_exact",
       (s, d) => corpus(s, d)

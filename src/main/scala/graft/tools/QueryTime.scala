@@ -11,11 +11,15 @@ object QueryTime {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val cores = sys.env.getOrElse("P_CORES", "32").toInt
-    val spark = SparkSession.builder().master(s"local[$cores]")
+    val builder = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // P_CONF=key=value[,key=value...]: ad-hoc conf experiments
+    sys.env.get("P_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // P_JOBS=1: per-job wall times + task counts (where do the seconds
     // of a multi-job gate actually go?)

@@ -40,7 +40,13 @@ object VocabGen {
     // symbol sequences start as single characters; each round merges
     // the globally most frequent adjacent pair (ties: lexicographic)
     var words: Map[Vector[String], Long] =
-      wordFreq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      // seed symbols from CODE POINTS, not UTF-16 chars: supplementary-
+      // plane corpus text must never seed lone-surrogate symbols (they
+      // would emit unmatchable, invalid-UTF-8 vocab entries and break
+      // the code-point convention SubwordVocab enforces)
+      wordFreq.map { case (w, f) =>
+        (w.codePoints().toArray.toVector
+          .map(cp => new String(Character.toChars(cp))), f) }
     val merged = scala.collection.mutable.LinkedHashSet.empty[String]
     var more = true
     while (more) {
