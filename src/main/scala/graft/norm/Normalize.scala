@@ -141,17 +141,33 @@ object Normalize {
 
   /** F1/C8: order-free stream equality with the reference's relaxations
     * (tags ordered, members canonicalized by sort). Returns the number
-    * of mismatching (kind,id,version) rows — 0 ⇔ identical. */
+    * of mismatching (kind,id,version) keys — 0 ⇔ identical. One
+    * tagged-union aggregation instead of the round-8 full-outer join:
+    * the same payload bytes cross the network exactly once either way,
+    * but the single groupBy needs one Exchange where the join planned
+    * two plus a join operator. The payload comparison stays EXACT
+    * (min-of-side payload structs compared field by field — no hash
+    * weakening of an equality witness); a side with a duplicate key
+    * counts as a mismatch unless both sides duplicate identically,
+    * which for valid OSM streams (unique (kind,id,version)) coincides
+    * with the join formulation. */
   def diffCount(a: Dataset[OsmEntity], b: Dataset[OsmEntity]): Long = {
-    def canon(ds: Dataset[OsmEntity]): DataFrame = ds.toDF().select(
-      col("kind"), col("id"), col("version"),
+    def canon(ds: Dataset[OsmEntity], side: Int): DataFrame = ds.toDF().select(
+      col("kind"), col("id"), col("version"), lit(side).as("side"),
       struct(col("visible"), col("lat7"), col("lon7"), col("tsMillis"),
         col("changeset"), col("uid"), col("user"), col("tags"), col("refs"),
         array_sort(col("members")).as("members")).as("payload"))
-    val l = canon(a).withColumnRenamed("payload", "pl")
-    val r = canon(b).withColumnRenamed("payload", "pr")
-    l.join(r, Seq("kind", "id", "version"), "full_outer")
-      .filter(col("pl").isNull || col("pr").isNull || col("pl") =!= col("pr"))
+    canon(a, 0).unionByName(canon(b, 1))
+      .groupBy("kind", "id", "version")
+      .agg(
+        sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb"),
+        min(when(col("side") === 0, col("payload"))).as("pa"),
+        min(when(col("side") === 1, col("payload"))).as("pb"),
+        max(when(col("side") === 0, col("payload"))).as("qa"),
+        max(when(col("side") === 1, col("payload"))).as("qb"))
+      .filter(col("na") =!= col("nb") || col("pa") =!= col("pb") ||
+        col("qa") =!= col("qb"))
       .count()
   }
 }

@@ -82,19 +82,20 @@ object TextOps {
     * substring dedup machinery (Lee et al. 2022 semantics, hash
     * election instead of a suffix array — see q_substr_dedup): every
     * non-FIRST occurrence of a 5-token shingle that repeats anywhere in
-    * the corpus. The election side is corpus-sized (one row per
-    * distinct shingle) — never broadcastable, hence the forced
-    * co-partitioned shuffled-hash join. */
-  private def substrDupStarts(toks: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = toks
-      .withColumn("g", concat_ws(" ", col("w"),
-        lead("w", 1).over(byDoc), lead("w", 2).over(byDoc),
-        lead("w", 3).over(byDoc), lead("w", 4).over(byDoc)))
-      .withColumn("w4", lead("w", 4).over(byDoc))
-      .filter(col("w4").isNotNull)
-      .select(col("doc_id"), col("pos"), sph(col("g")).as("h"),
+    * the corpus. Positional shingle hashes come from the
+    * word_gram_hashes codegen kernel (window i of the per-doc array ==
+    * the shingle starting at token i), replacing the round-8
+    * posexplode + doc-keyed lead() window — one map-only pass instead
+    * of a per-doc window shuffle over every token row. The election
+    * side is corpus-sized (one row per distinct shingle) — never
+    * broadcastable, hence the forced co-partitioned shuffled-hash
+    * join. */
+  private def substrDupStarts(s: SparkSession, d: String): DataFrame = {
+    val sh = corpus(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.word_gram_hashes(lower(col("text")), 5)))
+      .toDF("doc_id", "pos", "h")
+      .select(col("doc_id"), col("pos"), col("h"),
         (col("doc_id") * 1000000L + col("pos")).as("occ"))
     val first = sh.groupBy("h")
       .agg(min("occ").as("first_occ"), count(lit(1)).as("n_occ"))
@@ -760,7 +761,7 @@ object TextOps {
     QueryDef(
       "q_substr_dedup",
       (s, d) => {
-        val dupStarts = substrDupStarts(substrToks(s, d))
+        val dupStarts = substrDupStarts(s, d)
         val covered = dupStarts
           .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
           .distinct()
@@ -805,7 +806,7 @@ object TextOps {
       "q_substr_trim",
       (s, d) => {
         val toks = substrToks(s, d)
-        val covered = substrDupStarts(toks)
+        val covered = substrDupStarts(s, d)
           .select(col("doc_id"),
             explode(expr("sequence(pos, pos + 4)")).as("pos"))
           .distinct()
