@@ -36,6 +36,12 @@ object LabelProp {
     // Dataset.localCheckpoint: materializes ONCE (stats-truncating,
     // lineage-cutting) and stays in Tungsten InternalRow format
     val edgesM = edges.toDF("a", "b").localCheckpoint()
+    // the seed plan stays LAZY: round 1 reads it twice (join side +
+    // union side), but both reads are cheap aggregations over the
+    // checkpointed edge blocks — folding the seed into round 1's plan
+    // saves one eager materialization job (and its driver planning
+    // pass) per call, which on fast-converging graphs (near-dup
+    // clusters: 1 round) is a measurable slice of the whole operator
     var labels = {
       val seeded = edgesM.groupBy("a").agg(min(col("b")).as("mb"))
         .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
@@ -44,7 +50,7 @@ object LabelProp {
           .join(edgesM.select(col("a").as("node")), Seq("node"), "left_anti")
           .withColumn("comp", col("node"))
         seeded.unionByName(isolated)
-      }.getOrElse(seeded).localCheckpoint()
+      }.getOrElse(seeded)
     }
     var converged = false
     var round = 0
