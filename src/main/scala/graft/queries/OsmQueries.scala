@@ -135,10 +135,18 @@ object OsmQueries {
         val dPbf = Normalize.diffCount(osm, back)
         val dTables = Normalize.diffCount(back,
           Normalize.reassemble(s, Normalize.demux(back)))
-        val multiIds = back.toDF().groupBy("kind", "id").count()
-          .filter(col("count") > 1).count()
-        val invisible = back.filter(e => !e.visible).count()
-        Seq((back.count(), multiIds, invisible, dPbf, dTables))
+        // one aggregation pass computes all three stream stats (row
+        // count, multi-version ids, invisible rows) instead of three
+        // separate driver actions over the same checkpointed frame
+        val stats = back.toDF().groupBy("kind", "id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("visible"), 0L).otherwise(1L)).as("inv"))
+          .agg(sum(col("cnt")).as("n"),
+            count(when(col("cnt") > 1, 1)).as("multi"),
+            sum(col("inv")).as("invis"))
+          .head()
+        Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
+            dPbf, dTables))
           .toDF("n_entities", "n_multi_ids", "n_invisible",
             "n_diffs_pbf", "n_diffs_tables")
       },
@@ -162,8 +170,13 @@ object OsmQueries {
         // without this the COPY parse + reassembly joins run twice
         val back = Normalize.reassemble(s, graft.norm.PgCopy.readApiDb(s, dir))
           .localCheckpoint()
+        // canonicalize tag order NATIVELY (array_sort on struct<k,v> is
+        // a deterministic total order, codegen-friendly) instead of a
+        // per-row typed map that (de)serializes every entity twice; any
+        // consistent canonical order on both sides preserves the diff
+        // count exactly (sorted lists equal ⟺ tag multisets equal)
         def canonTags(ds: org.apache.spark.sql.Dataset[graft.model.OsmEntity]) =
-          ds.map(e => e.copy(tags = e.tags.sortBy(t => (t.k, t.v))))
+          ds.withColumn("tags", array_sort(col("tags"))).as[graft.model.OsmEntity]
         val diffs = Normalize.diffCount(canonTags(osm), canonTags(back))
         val n = back.count()
         Seq((n, diffs)).toDF("n_entities", "n_diffs")

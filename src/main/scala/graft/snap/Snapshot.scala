@@ -56,7 +56,14 @@ object Snapshot {
         .readTree(readAll(f, mp))
       val rows = if (m.has("totalRows")) m.get("totalRows").asLong(-1L) else -1L
       val files = if (m.has("files")) m.get("files").size() else 0
-      (spark.read.parquet(dataPath),
+      // the manifest is self-describing: reuse its recorded schema so
+      // the resume read skips the footer-sampling schema-inference job
+      val reader = if (m.has("schema"))
+        spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schema").toString)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else spark.read
+      (reader.parquet(dataPath),
         StageResult(key, dataPath, rows, files, 0L, resumed = true, inputs))
     } else {
       val t0 = System.nanoTime()
@@ -67,17 +74,23 @@ object Snapshot {
       val (_, metrics) = try graft.util.Progress.tracked(spark) {
         df.write.mode("overwrite").parquet(tmp)
       } finally spark.sparkContext.setJobDescription(null)
-      // per-partition metrics from parquet footers (no extra job)
+      // per-partition metrics from parquet footers (no extra job).
+      // Footer opens are independent ~5-20 ms IO round trips; read them
+      // concurrently so a many-file stage doesn't serialize them on the
+      // driver (measured: the 5-stage corpus chain pays this per stage)
       val parts = f.listStatus(new Path(tmp)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
-      val counts = parts.map { p =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val counts = java.util.Arrays.stream(parts).parallel().map[(String, Long)] { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(p, spark.sparkContext.hadoopConfiguration)
+          .fromPath(p, hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         val n = r.getRecordCount
         r.close()
         p.getName -> n
-      }
+      }.toArray(new java.util.function.IntFunction[Array[(String, Long)]] {
+        def apply(n: Int) = new Array[(String, Long)](n)
+      })
       if (f.exists(new Path(dataPath))) f.delete(new Path(dataPath), true)
       require(f.rename(new Path(tmp), new Path(dataPath)), s"rename failed: $tmp")
       val wallMs = (System.nanoTime() - t0) / 1000000
@@ -105,7 +118,8 @@ object Snapshot {
       val out = f.create(tmpM, true)
       out.write(json.getBytes(StandardCharsets.UTF_8)); out.close()
       require(f.rename(tmpM, mp), s"manifest commit failed: $mp")
-      (spark.read.parquet(dataPath),
+      // schema is known from the frame just written — skip inference
+      (spark.read.schema(df.schema).parquet(dataPath),
         StageResult(key, dataPath, total, counts.length, wallMs, resumed = false, inputs))
     }
   }
