@@ -60,6 +60,30 @@ object SpatialJoin {
       .select(col("url"), G.packed_lat7(col("p")).as("lat7"),
         G.packed_lon7(col("p")).as("lon7"))
 
+  /** Cover-side facts [[containmentJoin]] needs BEFORE planning: the
+    * distinct cover levels (drives the ancestor explode), the row count
+    * (drives the bounded-broadcast decision) and whether any fallback
+    * cells exist (drives the union-branch skip). All three are
+    * properties of the prepared cover, so [[prepare]] computes them
+    * once per polygon side — per-page-batch joins then plan with ZERO
+    * cover-side driver actions (the timed flagship pass used to run
+    * three small jobs per pass, a fixed cost the many-pass high-core
+    * bench rungs paid 4×). */
+  final case class CoverInfo(levels: Seq[Int], nRows: Long, hasFallback: Boolean)
+
+  /** One combined action over the (checkpointed) cover — the fused form
+    * of the three per-call actions containmentJoin ran through round 8. */
+  def coverInfoOf(cover: Dataset[CoverRowEx]): CoverInfo = {
+    val r = cover.toDF("relation_id", "cell", "full", "corner_inside",
+        "fallback", "edges")
+      .agg(collect_set(shiftrightunsigned(col("cell"), 58).cast("int")).as("ls"),
+        count(lit(1)).as("n"),
+        max(col("fallback")).as("fb"))
+      .head()
+    CoverInfo(r.getSeq[Int](0).sorted, r.getLong(1),
+      !r.isNullAt(2) && r.getBoolean(2))
+  }
+
   /** J5: containment join. Returns the points' own columns (at minimum
     * url, lat7, lon7 — any extra columns such as an event timestamp
     * ride through, enabling the streaming window pipeline; they must
@@ -70,15 +94,18 @@ object SpatialJoin {
     * rings table never enters the hot path (only the rare `fallback`
     * cells join it). */
   def containmentJoin(spark: SparkSession, points: DataFrame,
-      cover: Dataset[CoverRowEx], polygons: DataFrame, p: Params): DataFrame = {
-    import spark.implicits._
+      cover: Dataset[CoverRowEx], polygons: DataFrame, p: Params,
+      info: Option[CoverInfo] = None): DataFrame = {
     val outCols = points.columns.toSeq.map(col) :+ col("relation_id")
     val coverDf = cover.toDF("relation_id", "cell", "full", "corner_inside",
       "fallback", "edges")
-    // distinct cover levels: tiny (≤ maxLevel+1 values), driver-collected
-    val levels = coverDf
-      .select(shiftrightunsigned(col("cell"), 58).cast("int").as("l"))
-      .distinct().as[Int].collect().sorted
+    // cover-side facts (levels / row count / fallback presence) come
+    // precomputed from [[Prepared]] — zero cover-side actions per page
+    // batch (the timed flagship pass used to pay three small jobs each
+    // pass, which taxed the many-pass high-core rungs hardest) — or,
+    // for direct callers, from ONE combined action in [[coverInfoOf]]
+    val ci = info.getOrElse(coverInfoOf(cover))
+    val levels = ci.levels
     val pts = points.withColumn("pcell",
       G.cell_encode(col("lat7"), col("lon7"), lit(p.coverMaxLevel)))
     val keyed = pts.withColumn("jcell", explode(array(
@@ -88,7 +115,7 @@ object SpatialJoin {
     // cheap cached-block scan; page-side stats after the explode are
     // Generate-underestimated, so without the explicit bound Spark
     // could pick either side at any true size
-    val nCover = coverDf.count()
+    val nCover = ci.nRows
     def boundedCover(df: DataFrame): DataFrame =
       graft.util.Joins.boundedBroadcast(df, nCover, p.coverBroadcastMaxRows)
 
@@ -125,14 +152,13 @@ object SpatialJoin {
         col("corner_inside"), col("edges")))
       .select(outCols: _*)
     // skip the union's second branch when the cover has no fallback
-    // cells at all (a property of the tiny polygon side, one cheap
-    // action on the checkpointed cover; typical covers at detail level
-    // 17 have none). Statically this halves the source scans; at
-    // runtime AQE's empty-relation propagation already collapsed the
-    // empty-broadcast branch (measured: no throughput delta), so the
-    // static skip is for plan clarity and non-AQE sessions.
-    val hasFallback = !coverDf.filter(col("fallback")).isEmpty
-    if (!hasFallback) mainHits
+    // cells at all (a property of the tiny polygon side, known from
+    // CoverInfo; typical covers at detail level 17 have none).
+    // Statically this halves the source scans; at runtime AQE's
+    // empty-relation propagation already collapsed the empty-broadcast
+    // branch (measured: no throughput delta), so the static skip is
+    // for plan clarity and non-AQE sessions.
+    if (!ci.hasFallback) mainHits
     else {
       val fallbackHits = cand.filter(col("fallback"))
         .join(polygons, "relation_id")
@@ -181,7 +207,20 @@ object SpatialJoin {
     * dataset — e.g. inside [[Prepared]] — lets every page batch reuse
     * one materialization instead of re-checkpointing + recounting the
     * centre derivation per call. */
-  final case class CentreIndex(centres: DataFrame, nCentres: Long)
+  final case class CentreIndex(centres: DataFrame, nCentres: Long) {
+    /** Dense-path centre rows (c_rel, c_lat7, c_lon7) sorted by c_rel,
+      * collected ONCE per index — repeated kNN calls over the same
+      * prepared centre side (every bench pass, every gate sharing the
+      * session prep) reuse the driver-side copy instead of re-running
+      * the collect job. O(nCentres) and only materialized when the
+      * dense path (nCentres ≤ knnDenseMaxCentres) asks for it. */
+    lazy val collected: Seq[(Long, Long, Long)] = {
+      val spark = centres.sparkSession
+      import spark.implicits._
+      centres.select(col("relation_id"), col("c_lat7"), col("c_lon7"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+  }
   object CentreIndex {
     def of(centres: DataFrame): CentreIndex = {
       // one cheap count of the SMALL side decides the join strategy
@@ -198,16 +237,12 @@ object SpatialJoin {
       centres: DataFrame, p: Params): DataFrame =
     knnCentres(spark, points, CentreIndex.of(centres), p)
 
-  /** Centre rows collected for the dense path: (c_rel, c_lat7, c_lon7),
-    * sorted by c_rel for a deterministic plan constant. Only called
-    * when nCentres ≤ knnDenseMaxCentres — the same driver-side O(k)
-    * contract as the cover-level collect in [[containmentJoin]]. */
-  private def collectCentres(centreIdx: CentreIndex): Seq[(Long, Long, Long)] = {
-    val spark = centreIdx.centres.sparkSession
-    import spark.implicits._
-    centreIdx.centres.select(col("relation_id"), col("c_lat7"), col("c_lon7"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-  }
+  /** Centre rows for the dense path — the memoized [[CentreIndex]]
+    * collect (sorted by c_rel for a deterministic plan constant). Only
+    * touched when nCentres ≤ knnDenseMaxCentres — the same driver-side
+    * O(k) contract as the cover-level facts in [[CoverInfo]]. */
+  private def collectCentres(centreIdx: CentreIndex): Seq[(Long, Long, Long)] =
+    centreIdx.collected
 
   /** DENSE kNN: per-url top-k over the centre table shipped as codegen
     * reference arrays — one [[graft.expr.RT.knnTop]] kernel call per
@@ -452,9 +487,11 @@ object SpatialJoin {
   /** Prepared polygon side: built once, reused across page batches —
     * the cover is a property of the admin dataset, not of the pages.
     * `centreIdx` carries the materialized centre rows + count so every
-    * batch's kNN skips the per-call checkpoint + recount. */
+    * batch's kNN skips the per-call checkpoint + recount; `coverInfo`
+    * carries the cover-side planning facts so every batch's containment
+    * join plans without touching the cluster. */
   final case class Prepared(cover: Dataset[CoverRowEx], polygons: DataFrame,
-      centres: DataFrame, centreIdx: CentreIndex)
+      centres: DataFrame, centreIdx: CentreIndex, coverInfo: CoverInfo)
 
   /** Centre projection shared by [[prepare]] and the snapshot pipeline
     * (one definition, so the kNN centre contract cannot drift between
@@ -492,7 +529,8 @@ object SpatialJoin {
     val (complete, cover, polygons) = prepareCore(spark, areas, p)
     val centres = centresOf(complete.toDF()).localCheckpoint()
     complete.unpersist()
-    Prepared(cover, polygons, centres, CentreIndex.of(centres))
+    Prepared(cover, polygons, centres, CentreIndex.of(centres),
+      coverInfoOf(cover))
   }
 
   def run(spark: SparkSession, pages: DataFrame, areas: Dataset[AdminArea],
@@ -505,7 +543,8 @@ object SpatialJoin {
   def run(spark: SparkSession, pages: DataFrame, prep: Prepared,
       p: Params): Outputs = {
     val pts = geoparsedPoints(pages)
-    val joined = containmentJoin(spark, pts, prep.cover, prep.polygons, p)
+    val joined = containmentJoin(spark, pts, prep.cover, prep.polygons, p,
+      Some(prep.coverInfo))
     new Outputs(joined, () => knnCentres(spark, pts, prep.centreIdx, p),
       tiles(joined, p.tileZoom))
   }

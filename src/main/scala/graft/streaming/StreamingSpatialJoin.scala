@@ -33,7 +33,7 @@ object StreamingSpatialJoin {
       .select(col("url"), col("warc_ts"),
         G.packed_lat7(col("pk")).as("lat7"), G.packed_lon7(col("pk")).as("lon7"))
     val joined = SpatialJoin.containmentJoin(spark, pts, prep.cover,
-      prep.polygons, p)
+      prep.polygons, p, Some(prep.coverInfo))
     joined
       .withColumn("t", G.tile_zxy(col("lat7"), col("lon7"), lit(p.tileZoom)))
       .withWatermark("warc_ts", watermark)

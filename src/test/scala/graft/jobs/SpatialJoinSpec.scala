@@ -141,6 +141,47 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("coverInfoOf fuses the three cover-side facts exactly (r9)") {
+    // the fused one-action CoverInfo must equal the facts computed the
+    // round-8 way (three separate actions), on a fallback-free cover
+    // (Niue at detail 17) AND a fallback-bearing one (the lattice
+    // square from the adversarial test above)
+    val lattice = {
+      import graft.geo.Cells
+      val c = Cells.encode(100000000L, 200000000L, 10)
+      val (lo, la, hi, lb) = Cells.bounds(c)
+      val ring = Seq(lo, la, hi + (hi - lo), la,
+        hi + (hi - lo), lb + (lb - la), lo, lb + (lb - la))
+      spark.createDataset(Seq(AdminAreas.AdminArea(7L, 4, "lattice",
+        Seq(ring), Some((la + lb) / 2), Some((lo + hi) / 2), complete = true)))
+    }
+    for ((prep, p) <- Seq(
+        SpatialJoin.prepare(spark, areas) -> SpatialJoin.Params(),
+        SpatialJoin.prepare(spark, lattice,
+          SpatialJoin.Params(coverMaxLevel = 12)) ->
+          SpatialJoin.Params(coverMaxLevel = 12))) {
+      val info = prep.coverInfo
+      val coverDf = prep.cover.toDF("relation_id", "cell", "full",
+        "corner_inside", "fallback", "edges")
+      val levels8 = coverDf
+        .select(shiftrightunsigned(col("cell"), 58).cast("int").as("l"))
+        .distinct().as[Int].collect().sorted.toSeq
+      assert(info.levels == levels8)
+      assert(info.nRows == coverDf.count())
+      assert(info.hasFallback == !coverDf.filter(col("fallback")).isEmpty)
+      // and the info-supplied join is row-identical to the default path
+      val pts = pagesDf.limit(200)
+        .select(col("url"), lit(100100000L).as("lat7"), lit(200200000L).as("lon7"))
+      def rows(r: org.apache.spark.sql.DataFrame) =
+        r.select("url", "relation_id").collect()
+          .map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(rows(SpatialJoin.containmentJoin(spark, pts, prep.cover,
+          prep.polygons, p, Some(info))) ==
+        rows(SpatialJoin.containmentJoin(spark, pts, prep.cover,
+          prep.polygons, p)))
+    }
+  }
+
   test("kNN shuffle-degraded path (broadcast bound exceeded) is output-identical") {
     val base = SpatialJoin.run(spark, pagesDf, areas)
     // knnBroadcastMaxRows = 0 forces EVERY centre-index join onto the
