@@ -106,10 +106,15 @@ object OsmQueries {
     QueryDef(
       "q_osm_roundtrip",
       (s, _) => {
-        val osm = osmFixture(s)
-        val back = Normalize.reassemble(s, Normalize.demux(osm))
-        val diffs = Normalize.diffCount(osm, back)
-        val n = osm.count()
+        // the reassembly joins + diff aggregation execute eagerly in
+        // here over the 45k-row fixture — scope the shuffle sizing to
+        // match (the same fixture-sized-eager-section rule as
+        // q_admin_incremental / q_extract)
+        val (n, diffs) = graft.util.Scoped.shufflePartitions(s, 8) {
+          val osm = osmFixture(s)
+          val back = Normalize.reassemble(s, Normalize.demux(osm))
+          (osm.count(), Normalize.diffCount(osm, back))
+        }
         import s.implicits._
         Seq((n, diffs)).toDF("n_entities", "n_diffs")
       },
@@ -125,7 +130,9 @@ object OsmQueries {
     // fields through the PBF Info encoding.
     QueryDef(
       "q_osm_roundtrip_history",
-      (s, _) => {
+      (s, _) => graft.util.Scoped.shufflePartitions(s, 8) {
+        // both round-trip hops + diffs execute eagerly in here over a
+        // 151-row fixture — scope the shuffle sizing to match
         import s.implicits._
         val osm = historyFixture(s).localCheckpoint()
         val dir = graft.util.Staging.dir("history_pbf", "fixture")
@@ -161,7 +168,10 @@ object OsmQueries {
     // by (k,v): the apidb schema has no tag-order column)
     QueryDef(
       "q_pgcopy_roundtrip",
-      (s, _) => {
+      (s, _) => graft.util.Scoped.shufflePartitions(s, 8) {
+        // COPY write + parse + reassembly + diff execute eagerly in
+        // here over the 45k-row fixture — scope the shuffle sizing to
+        // match
         import s.implicits._
         val osm = osmFixture(s)
         val dir = "/tmp/graft-pgcopy-gate"
